@@ -31,23 +31,12 @@ object SparkEntry {
     s.read.parquet(s"$dir/events.parquet")
       .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
 
-  /** Flagship: the full north-rule operator chain on one plan —
-    * as-of join + LOCF backfill + lag/lead + sessionization over the
-    * entity×timestamp table. Driver smoke-checks rows>0 on sf0.001. */
-  def entry(spark: SparkSession): DataFrame = {
-    val dir = "/root/testdata/sf0.001"
-    val e = ev(spark, dir)
-    val probes = e
-      .filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
-    val build = e
-      .filter(col("event_type") === "click")
-      .select(col("user_id"), col("ts_us"), col("value").as("click_value"))
-    val joined = AsOfJoin.asOf(probes, build, "user_id", "ts_us", Seq("click_value"), AsOfBucketUs)
-    val filled = Backfill.locf(joined, "user_id", "ts_us", Seq("click_value"), Seq("event_id"))
-    val lagged = LagLead.withLagLead(filled, "user_id", "ts_us", "value", 1, Seq("event_id"))
-    Sessionize.sessionize(lagged, "user_id", "ts_us", SessionGapUs, Seq("event_id"))
-  }
+  /** Flagship: the full north-rule pipeline — synthetic image+caption table
+    * → fused decode/feature UDF → caption LOCF → lag-delta → sessionize →
+    * as-of join onto the probe grid — at tiny scale (FIXTURES.md §1).
+    * Driver smoke-checks rows>0. */
+  def entry(spark: SparkSession): DataFrame =
+    graft.pipeline.FeaturePipeline.run(spark, entities = 8, framesPerEntity = 256, probesPerEntity = 8)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -255,6 +244,37 @@ object SparkEntry {
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(10)
         .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+    }),
+    // ---- flagship image pipeline (P6, A1, W6, W8, W9, J2 fused) — not
+    //      SQL-expressible (image decode); parity is asserted in ParitySpec,
+    //      driver records a rows-only check ----
+    "q_image_pipeline" -> ((s, _) => {
+      graft.pipeline.FeaturePipeline
+        .run(s, entities = 8, framesPerEntity = 256, probesPerEntity = 8)
+        .select(
+          col("entity"),
+          col("asOfTs"),
+          col(AsOfJoin.SrcTs),
+          col("f_caption"),
+          col("f_session"),
+          graft.feats.VecOps.vecRound(col("f_vec").cast("array<double>"), 4).as("f_vec"))
+    }),
+    // per-second tumbling mean features with BOTH tail semantics (A2 vs A3)
+    "q_image_seconds_ceil" -> ((s, _) => {
+      val ff = graft.pipeline.FeaturePipeline
+        .frameFeatures(graft.synth.SynthImages.table(s, 8, 256))
+      graft.pipeline.FeaturePipeline
+        .secondFeatures(ff, Windows.CeilTail)
+        .select(col("entity"), col("sec"), col("win_n"),
+          graft.feats.VecOps.vecRound(col("sec_vec"), 4).as("sec_vec"))
+    }),
+    "q_image_seconds_floor" -> ((s, _) => {
+      val ff = graft.pipeline.FeaturePipeline
+        .frameFeatures(graft.synth.SynthImages.table(s, 8, 256))
+      graft.pipeline.FeaturePipeline
+        .secondFeatures(ff, Windows.FloorTail)
+        .select(col("entity"), col("sec"), col("win_n"),
+          graft.feats.VecOps.vecRound(col("sec_vec"), 4).as("sec_vec"))
     })
   )
 
