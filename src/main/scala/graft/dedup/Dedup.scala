@@ -1,0 +1,183 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard, embedding-cosine near-dup.
+  *
+  * All text hashing is md5-based (Spark `md5` == DuckDB `md5` on UTF-8) so
+  * every deterministic stage is oracle-checkable bit-for-bit. Everything is
+  * pure `functions._` column algebra — per-row signature computation runs
+  * inside whole-stage codegen with NO shuffle; the only exchanges are the
+  * final candidate-pair joins, which shuffle on band/shingle keys (never a
+  * cross product).
+  */
+object Dedup {
+
+  /** whitespace tokens of lowercased trimmed text. */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** distinct n-token shingles (empty array for texts under n tokens —
+    * Spark's `sequence(1, 0)` would otherwise DESCEND). */
+  def shingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) < n, array().cast("array<string>")).otherwise(
+      array_distinct(
+        transform(
+          sequence(lit(1), size(t) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(k => element_at(t, i + k)): _*))))
+  }
+
+  /** Exact dedup: group identical texts by md5; keep the minimum id.
+    * One hash-aggregate — the scalable baseline. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .groupBy(md5(col(textCol)).as("h"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** k MinHash values: sig[s] = min over shingles of md5(s || ':' || shingle).
+    * Lexicographic min of lowercase hex == numeric min of the 128-bit hash,
+    * identical in any engine. Computed per-row, no shuffle. */
+  def minhashSignature(text: Column, shingleN: Int, k: Int): Column = {
+    val sh = shingles(text, shingleN)
+    transform(
+      sequence(lit(0), lit(k - 1)),
+      s => array_min(transform(sh, x => md5(concat(s.cast("string"), lit(":"), x)))))
+  }
+
+  /** LSH band hashes: band b = md5 of the '|'-joined minhashes in rows
+    * [b*r, (b+1)*r). Docs sharing any band hash are candidate near-dups
+    * (threshold ≈ (1/bands)^(1/rows)). */
+  def lshBands(sig: Column, bands: Int, rows: Int): Column =
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => md5(concat_ws("|", slice(sig, b * rows + 1, lit(rows)))))
+
+  /** MinHash-LSH near-dup pairs, verified with exact shingle Jaccard ≥ tau.
+    * Plan: per-row signature (no shuffle) → explode bands → self-join on
+    * (band_idx, band_hash) → dedupe pairs → verify Jaccard. At 10^12 docs
+    * the band join is the only shuffle and each side carries (id, band, set)
+    * — never raw text. */
+  def minhashLsh(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      k: Int = 16,
+      bands: Int = 4,
+      tau: Double = 0.5): DataFrame = {
+    val rows = k / bands
+    val withSig = docs.select(
+      col(idCol).as("doc"),
+      shingles(col(textCol), shingleN).as("sh"),
+      lshBands(minhashSignature(col(textCol), shingleN, k), bands, rows).as("bandsArr"))
+    val exploded = withSig
+      .select(col("doc"), col("sh"), posexplode(col("bandsArr")).as(Seq("band_idx", "band_hash")))
+    val a = exploded.select(
+      col("doc").as("doc_a"), col("sh").as("sh_a"), col("band_idx"), col("band_hash"))
+    val b = exploded.select(
+      col("doc").as("doc_b"), col("sh").as("sh_b"), col("band_idx"), col("band_hash"))
+    a.join(b, Seq("band_idx", "band_hash"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn(
+        "jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .where(col("jaccard") >= tau)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** SimHash width: 48 bits = 12 md5 hex chars, so the token hash stays
+    * under 2^53 and every bit-extract below is EXACT in double arithmetic
+    * (division by a power of two never rounds) — portable to any engine. */
+  final val SimBits = 48
+
+  /** 48-bit md5-derived token hash. */
+  def tokenHash(tok: Column): Column =
+    conv(substring(md5(tok), 1, SimBits / 4), 16, 10).cast("long")
+
+  /** 48-bit SimHash over (duplicated) tokens: bit i set iff the sum over
+    * tokens of ±1 (sign of token-hash bit i) is positive. One pass per row,
+    * pure column algebra. */
+  def simhash(text: Column): Column = {
+    val toks = tokens(text)
+    val bitCounts = aggregate(
+      toks,
+      array_repeat(lit(0), SimBits),
+      (acc, tok) => {
+        val h = tokenHash(tok)
+        zip_with(
+          acc,
+          transform(
+            sequence(lit(0), lit(SimBits - 1)),
+            i => when(floor(h / pow(lit(2.0), i)).cast("long") % 2 === 1, 1).otherwise(-1)),
+          (a, c) => a + c)
+      })
+    aggregate(
+      zip_with(
+        bitCounts,
+        sequence(lit(0), lit(SimBits - 1)),
+        (s, i) => when(s > 0, pow(lit(2.0), i).cast("long")).otherwise(lit(0L))),
+      lit(0L),
+      (a, x) => a.bitwiseOR(x))
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs via an inverted shingle index
+    * (explode distinct shingles → self-join on shingle → shared counts →
+    * Jaccard). Complete for any tau > 0 (a pair with no shared shingle has
+    * J = 0). `maxDf` optionally drops ubiquitous shingles before the join —
+    * the skew guard at web scale (changes candidate recall only for pairs
+    * whose every shared shingle is ubiquitous). */
+  def ngramJaccard(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      tau: Double = 0.5,
+      maxDf: Long = 0L): DataFrame = {
+    val withSh = docs.select(col(idCol).as("doc"), shingles(col(textCol), shingleN).as("sh"))
+    val sizes = withSh.select(col("doc"), size(col("sh")).as("sz"))
+    val inv0 = withSh.select(col("doc"), explode(col("sh")).as("s"))
+    val inv =
+      if (maxDf <= 0) inv0
+      else {
+        val df = inv0.groupBy("s").agg(count(lit(1)).as("df")).where(col("df") <= maxDf)
+        inv0.join(df.select("s"), Seq("s"), "left_semi")
+      }
+    val shared = inv
+      .select(col("doc").as("doc_a"), col("s"))
+      .join(inv.select(col("doc").as("doc_b"), col("s")), Seq("s"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.withColumnsRenamed(Map("doc" -> "doc_a", "sz" -> "sz_a")), Seq("doc_a"))
+      .join(sizes.withColumnsRenamed(Map("doc" -> "doc_b", "sz" -> "sz_b")), Seq("doc_b"))
+      .withColumn(
+        "jaccard",
+        col("shared").cast("double") / (col("sz_a") + col("sz_b") - col("shared")))
+      .where(col("jaccard") >= tau)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Embedding-cosine near-dup pairs ≥ tau — exact all-pairs formulation for
+    * oracle checking (the approximate scale path is
+    * `graft.sim.Similarity.annLsh`). */
+  def cosineNearDup(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      tau: Double): DataFrame = {
+    import graft.feats.VecOps
+    val a = emb.select(col(idCol).as("id_a"), col(vecCol).cast("array<double>").as("v_a"))
+    val b = emb.select(col(idCol).as("id_b"), col(vecCol).cast("array<double>").as("v_b"))
+    a.crossJoin(b)
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cos", round(VecOps.cosine(col("v_a"), col("v_b")), 4))
+      .where(col("cos") >= tau) // threshold on the ROUNDED value: engine-portable
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+}

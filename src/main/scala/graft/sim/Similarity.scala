@@ -1,0 +1,119 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.feats.VecOps
+import graft.synth.SynthImages
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * [[bruteTopK]] is the exact baseline (oracle-checkable): broadcast the
+  * (small) query set against the corpus, cosine via codegen'd
+  * `zip_with`/`aggregate`, per-query top-k by window rank — ranking on the
+  * rounded score with an id tie-break so float summation order can never
+  * flip ranks between engines.
+  *
+  * [[annLsh]] is the scale path: L=16 deterministic random-hyperplane hash
+  * tables of B=6 sign bits each (hyperplanes derived from the seed, no
+  * stored model) bucket the corpus; a corpus row is a candidate iff it
+  * shares any table's bucket with the query, and only candidates are
+  * scored. Shuffle is one hash exchange on (table, bucket) instead of a
+  * corpus-wide cross product; recall/cost is tunable via L × B.
+  * Approximate ⇒ no SQL oracle (rows-only check).
+  */
+object Similarity {
+
+  /** L independent hash tables × B sign-hyperplane bits each. Short codes
+    * per table keep per-bucket recall usable even for weakly-correlated
+    * neighbors; more tables buy recall linearly in shuffle volume. */
+  val Tables = 16
+  val BitsPerTable = 6
+
+  /** Deterministic ±1 "hyperplane" entry for (plane p, dim d). */
+  private def sgn(p: Int, d: Int): Double =
+    if ((SynthImages.mix(p.toLong, d.toLong, 131L) & 1L) == 0L) 1.0 else -1.0
+
+  /** All L B-bit signatures in one pass: sig(t) bit j =
+    * [ sum_d sgn(t*B+j, d) * v_d > 0 ]. One compact UDF (a 96×dim sign
+    * projection is a hash, not a plan — as a raw column expression it
+    * explodes whole-stage codegen); deterministic, per-row, no shuffle. */
+  private val signatures = org.apache.spark.sql.functions.udf { (vec: Seq[Double]) =>
+    if (vec == null) null
+    else {
+      val dim = vec.length
+      (0 until Tables).map { t =>
+        var sig = 0
+        var j = 0
+        while (j < BitsPerTable) {
+          val p = t * BitsPerTable + j
+          var proj = 0.0
+          var d = 0
+          while (d < dim) { proj += vec(d) * sgn(p, d); d += 1 }
+          if (proj > 0) sig |= (1 << j)
+          j += 1
+        }
+        sig
+      }
+    }
+  }
+
+  /** per-table bucket ids for one vector — array of L ints (index = table). */
+  def lshBuckets(vec: Column): Column = signatures(vec)
+
+  /** Exact brute-force cosine top-k per query. */
+  def bruteTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      qIdCol: String,
+      qVecCol: String,
+      k: Int): DataFrame = {
+    val scored = corpus
+      .select(col(idCol).as("nn_id"), col(vecCol).cast("array<double>").as("v"))
+      .crossJoin(broadcast(
+        queries.select(col(qIdCol).as("query_id"), col(qVecCol).cast("array<double>").as("qv"))))
+      .where(col("nn_id") =!= col("query_id"))
+      .withColumn("cos", round(VecOps.cosine(col("v"), col("qv")), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("nn_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("nn_id"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** Multi-table LSH ANN: a corpus row is a candidate for a query iff they
+    * share the bucket of ANY of the L tables. Only candidates are scored —
+    * the shuffle is one hash exchange on (table, bucket), never a corpus
+    * cross product; recall/cost tunable via Tables × BitsPerTable. */
+  def annLsh(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      qIdCol: String,
+      qVecCol: String,
+      k: Int): DataFrame = {
+    val c = corpus
+      .select(
+        col(idCol).as("nn_id"),
+        col(vecCol).cast("array<double>").as("v"),
+        posexplode(lshBuckets(col(vecCol).cast("array<double>"))).as(Seq("tbl", "sig")))
+    val q = queries
+      .select(
+        col(qIdCol).as("query_id"),
+        col(qVecCol).cast("array<double>").as("qv"),
+        posexplode(lshBuckets(col(qVecCol).cast("array<double>"))).as(Seq("tbl", "sig")))
+    q.join(c, Seq("tbl", "sig"))
+      .where(col("nn_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "nn_id")
+      .withColumn("cos", round(VecOps.cosine(col("v"), col("qv")), 6))
+      .withColumn(
+        "rank",
+        row_number().over(Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("nn_id"))))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("nn_id"), round(col("cos"), 4).as("cos"))
+  }
+}

@@ -1,0 +1,87 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+/** Text analysis for training-data curation: language-ID (marker-word
+  * heuristic), quality scoring (length/punct/stopword ratios), token
+  * counting (whitespace + word-regex), and document fingerprinting
+  * (min-hash of rolling shingles). All pure column algebra — per-row, no
+  * shuffle, codegen-friendly; at 10^12 docs these are scan-time transforms.
+  */
+object TextAnalysis {
+
+  /** marker lexicons for the n-gram/stopword language heuristic. */
+  val Markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "los", "de", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  def whitespaceTokens(text: Column): Column = Dedup.tokens(text)
+
+  /** BPE-ish word tokens: maximal [a-z0-9]+ runs of the lowercased text. */
+  def wordTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+
+  /** token counts: whitespace tokens and regex word tokens. */
+  def tokenCounts(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_ws_tokens", size(whitespaceTokens(col(textCol))))
+      .withColumn(
+        "n_word_tokens",
+        size(regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0))))
+
+  /** marker hits for one language = number of tokens that are markers. */
+  private def markerHits(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(markers)))
+
+  /** Language-ID: argmax of marker hits with deterministic tie-break on
+    * lexicon order; "und" (undetermined) when nothing matches. */
+  def langId(df: DataFrame, textCol: String): DataFrame = {
+    val toks = whitespaceTokens(col(textCol))
+    val withHits = Markers.foldLeft(df.withColumn("__toks", toks)) {
+      case (d, (lang, ms)) => d.withColumn(s"hits_$lang", markerHits(col("__toks"), ms))
+    }
+    val best = Markers.foldLeft((lit("und"), lit(0))) { case ((bl, bh), (lang, _)) =>
+      val h = col(s"hits_$lang")
+      (when(h > bh, lit(lang)).otherwise(bl), when(h > bh, h).otherwise(bh))
+    }
+    withHits.withColumn("pred_lang", best._1).drop("__toks")
+  }
+
+  /** Quality score in [0,1]: blend of length band, punctuation ratio,
+    * stopword ratio, and mean token length — the usual cheap heuristics
+    * (Gopher/C4-style rules) as one deterministic formula. */
+  def qualityScore(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = whitespaceTokens(t)
+    val nTok = size(toks).cast("double")
+    val nChar = length(t).cast("double")
+    val punct = (nChar - length(regexp_replace(lower(t), "[^a-z0-9\\s]", ""))).cast("double")
+    val stop = markerHits(toks, Markers.head._2).cast("double")
+    val meanTokLen = (nChar - (nTok - 1)) / nTok // chars minus separators
+    val lenOk = when(nChar >= 50 && nChar <= 10000, 1.0).otherwise(0.5)
+    val punctRatio = punct / nChar
+    val stopRatio = stop / nTok
+    val tokLenOk = when(meanTokLen >= 2 && meanTokLen <= 12, 1.0).otherwise(0.5)
+    df.withColumn("n_tokens", nTok.cast("long"))
+      .withColumn("punct_ratio", round(punctRatio, 4))
+      .withColumn("stopword_ratio", round(stopRatio, 4))
+      .withColumn(
+        "quality",
+        round(
+          lenOk * 0.3 + tokLenOk * 0.2 + (lit(1.0) - least(punctRatio * 5, lit(1.0))) * 0.25 +
+            least(stopRatio * 4, lit(1.0)) * 0.25,
+          4))
+  }
+
+  /** Document fingerprint: minimum md5 over 8-token shingles (rolling-hash
+    * winnowing reduced to its global minimum) — a stable containment probe. */
+  def fingerprint(df: DataFrame, textCol: String, shingleN: Int = 8): DataFrame =
+    df.withColumn(
+      "fingerprint",
+      array_min(transform(Dedup.shingles(col(textCol), shingleN), s => md5(s))))
+}

@@ -1,0 +1,60 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.sim.Similarity
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "completely different words describing spark engines here"),
+    (4L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (5L, "a b")) // under shingle width
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val out = Dedup.exact(docs, "doc_id", "text").collect()
+    assert(out.length == 4)
+    val dupGroup = out.find(_.getLong(2) == 2L).get
+    assert(dupGroup.getLong(1) == 1L) // keeps min id
+  }
+
+  test("minhash LSH finds the near-dup pair and skips unrelated docs") {
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text", tau = 0.5)
+      .select($"doc_a", $"doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)), "exact dup must surface")
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 4L)), "near-dup must surface")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc must not pair")
+  }
+
+  test("ngram jaccard: exact dup = 1.0, short doc yields no shingles") {
+    val out = Dedup.ngramJaccard(docs, "doc_id", "text", tau = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(out((1L, 4L)) == 1.0)
+    assert(!out.keySet.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("simhash: identical texts equal, near-dups closer than unrelated") {
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val h = docs.select($"doc_id", Dedup.simhash($"text").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) == h(4L))
+    assert(hamming(h(1L), h(2L)) < hamming(h(1L), h(3L)))
+    assert(h.values.forall(v => v >= 0 && v < (1L << 48)))
+  }
+
+  test("ANN LSH top-k achieves recall vs brute force on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.where($"vec_id" % 50 === 0)
+    val brute = Similarity.bruteTopK(emb, q, "vec_id", "embedding", "vec_id", "embedding", 5)
+      .select($"query_id", $"nn_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.annLsh(emb, q, "vec_id", "embedding", "vec_id", "embedding", 5)
+      .select($"query_id", $"nn_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ann).size.toDouble / brute.size
+    assert(ann.nonEmpty, "LSH must return candidates")
+    assert(recall >= 0.2, s"ANN recall vs brute force too low: $recall")
+  }
+}
