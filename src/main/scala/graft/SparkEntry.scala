@@ -320,7 +320,39 @@ object SparkEntry {
           col("stopword_ratio"), col("quality"))),
     "q_fingerprint" -> ((s, dir) =>
       graft.text.TextAnalysis.fingerprint(s.read.parquet(s"$dir/documents.parquet"), "text")
-        .select(col("doc_id"), col("fingerprint")))
+        .select(col("doc_id"), col("fingerprint"))),
+    // ---- streaming: tumbling event-time agg == batch semantics (oracle) ----
+    "q_streaming_tumbling" -> ((s, dir) => {
+      val stage = java.nio.file.Files.createTempDirectory("graft_stream_q")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        stage.resolve("events.parquet"))
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val q = graft.streaming.StreamingFeatures
+        .tumblingAgg(s.readStream.schema(schema).parquet(stage.toString), "1 day", "0 seconds")
+        .writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName("q_streaming_tumbling_sink")
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      s.table("q_streaming_tumbling_sink")
+        .select(col("user_id"), col("win_start_us"), col("n"),
+          round(col("avg_v"), 4).as("avg_v"))
+    }),
+    // ---- J4/§7.3: resumable manifest job — runs the image feature job into
+    //      a fresh dir in two snapshots (simulated kill), returns lineage ----
+    "q_resume_manifest" -> ((s, _) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_resume_q").toString
+      val feats = graft.pipeline.FeaturePipeline
+        .frameFeatures(graft.synth.SynthImages.table(s, 6, 64))
+        .select(col("entity"), col("ts"), col("vec"))
+      Resume.processPending(s, feats, "entity", "ts", "vec", out, 1L, maxPartitions = 2)
+      Resume.processPending(s, feats, "entity", "ts", "vec", out, 2L)
+      Resume.readManifest(s, out)
+        .select(col("snapshotId"), col("partition"), col("rowCount"), col("featureDigest"))
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -555,6 +587,10 @@ object SparkEntry {
         |    [concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4], tk[i+5], tk[i+6], tk[i+7])
         |     for i in range(1, len(tk) - 6)] END AS shs
         |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk FROM documents))
-        |SELECT doc_id, list_min([md5(s) for s in shs]) AS fingerprint FROM sh""".stripMargin
+        |SELECT doc_id, list_min([md5(s) for s in shs]) AS fingerprint FROM sh""".stripMargin,
+    "q_streaming_tumbling" ->
+      """SELECT user_id, (epoch_us(ts) // 86400000000) * 86400000000 AS win_start_us,
+        |  count(*) AS n, round(avg(value), 4) AS avg_v
+        |FROM events GROUP BY 1, 2""".stripMargin
   )
 }

@@ -1,0 +1,144 @@
+package graft.ops
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Checkpoint / lineage / resume — the engine's Iceberg-emulation layer
+  * (SURVEY.md §7.3, FIXTURES.md §4).
+  *
+  * No Iceberg runtime ships in this environment, so "Iceberg table" is
+  * Parquet data files + a self-managed snapshot/manifest subset: per-partition
+  * manifest rows `(snapshotId, partition, inputFiles, rowCount,
+  * featureDigest, completedAt)` stored as parquet under `<out>/_manifest`,
+  * plus a JSON snapshot pointer `<out>/_snapshot_<id>.json`. This faithfully
+  * upgrades the reference's own resume machinery: skip-if-exists
+  * (`segment_features/segment_feature_extractor.py:47-49` and 8 sibling
+  * sites), completed-set diff (`frame_features/video_batch.py:8-10`), and
+  * the count-equality self-repair (`modalities/generate_depth_frames.py:47-55`).
+  *
+  * Scale notes: the manifest is O(partitions), never O(rows); the pending-work
+  * computation is a broadcast `left_anti` join of the (small) manifest against
+  * the partition list; digests are order-independent XORs of per-row xxhash64
+  * so they are stable under any task/partition execution order.
+  */
+object Resume {
+
+  /** Order-independent content digest of a partition: bitwise XOR of
+    * per-row xxhash64 over the canonicalized row string (XOR: commutative,
+    * associative, overflow-free under ANSI mode). Rounding the vector to 4dp
+    * keeps the digest stable across fp-assoc-order differences. */
+  def rowDigest(entity: Column, ts: Column, vec: Column): Column =
+    xxhash64(concat_ws(",", entity, ts, to_json(graft.feats.VecOps.vecRound(vec.cast("array<double>"), 4))))
+
+  private val DigestTmp = "__row_digest"
+
+  private def manifestPath(outDir: String) = s"$outDir/_manifest"
+
+  /** Read the manifest (empty DataFrame with the right schema if absent). */
+  def readManifest(spark: SparkSession, outDir: String): DataFrame = {
+    val p = manifestPath(outDir)
+    if (Files.exists(Paths.get(p)))
+      spark.read.parquet(p)
+    else
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "snapshotId LONG, partition STRING, inputFiles ARRAY<STRING>, " +
+            "rowCount LONG, featureDigest LONG, completedAt LONG"))
+  }
+
+  /** Partitions of `all` (distinct `partitionCol` values) not yet completed
+    * in the manifest — the reference's skip-if-exists as a `left_anti`. */
+  def pending(all: DataFrame, partitionCol: String, manifest: DataFrame): DataFrame =
+    all
+      .select(col(partitionCol).as("partition"))
+      .distinct()
+      .join(broadcast(manifest.select("partition")), Seq("partition"), "left_anti")
+
+  /** Process `features` (must carry `partitionCol`) for the pending
+    * partitions only, append the data as entity-partitioned parquet, then
+    * append manifest rows carrying lineage (row counts + digests + input
+    * files). Returns the number of partitions processed this invocation. */
+  def processPending(
+      spark: SparkSession,
+      features: DataFrame,
+      partitionCol: String,
+      tsCol: String,
+      vecCol: String,
+      outDir: String,
+      snapshotId: Long,
+      maxPartitions: Int = Int.MaxValue): Long = {
+    val manifest = readManifest(spark, outDir)
+    val todo = pending(features, partitionCol, manifest)
+      .orderBy("partition")
+      .limit(maxPartitions)
+    val todoCount = todo.count()
+    if (todoCount == 0) return 0L
+
+    val work = features.join(broadcast(todo),
+      features(partitionCol) === todo("partition"), "left_semi")
+    work
+      .withColumn("__part", col(partitionCol))
+      .write
+      .mode(SaveMode.Append)
+      .partitionBy("__part")
+      .parquet(s"$outDir/data")
+
+    val inputs = work
+      .withColumn("__file", input_file_name())
+      .withColumn(DigestTmp, rowDigest(col(partitionCol), col(tsCol), col(vecCol)))
+      .groupBy(col(partitionCol).as("partition"))
+      .agg(
+        sort_array(collect_set(col("__file"))).as("inputFiles"),
+        count(lit(1)).as("rowCount"),
+        expr(s"bit_xor(${DigestTmp})").as("featureDigest"))
+      .withColumn("snapshotId", lit(snapshotId))
+      .withColumn("completedAt", lit(snapshotId)) // deterministic stamp: snapshot id
+      .select("snapshotId", "partition", "inputFiles", "rowCount", "featureDigest", "completedAt")
+    inputs.write.mode(SaveMode.Append).parquet(manifestPath(outDir))
+    writeSnapshot(spark, outDir, snapshotId)
+    todoCount
+  }
+
+  /** JSON snapshot pointer: snapshot id + manifest stats (Iceberg's
+    * snapshot→manifest-list indirection reduced to what resume needs). */
+  def writeSnapshot(spark: SparkSession, outDir: String, snapshotId: Long): Unit = {
+    val m = readManifest(spark, outDir)
+    val stats = m.agg(count(lit(1)), coalesce(sum("rowCount"), lit(0L))).head()
+    val json =
+      s"""{"snapshotId":$snapshotId,"partitions":${stats.getLong(0)},"rows":${stats.getLong(1)},"manifest":"${manifestPath(outDir)}"}"""
+    Files.write(
+      Paths.get(s"$outDir/_snapshot_$snapshotId.json"),
+      json.getBytes("UTF-8"),
+      StandardOpenOption.CREATE,
+      StandardOpenOption.TRUNCATE_EXISTING)
+  }
+
+  /** Audit: recompute row counts + digests from the written data and compare
+    * with the manifest — the engine's form of the reference's
+    * output-count==input-count self-check (A6/J5). Returns mismatching
+    * partitions (empty = healthy). */
+  def audit(
+      spark: SparkSession,
+      outDir: String,
+      partitionCol: String,
+      tsCol: String,
+      vecCol: String): DataFrame = {
+    val data = spark.read.parquet(s"$outDir/data")
+      .withColumnRenamed("__part", "partition")
+    val recomputed = data
+      .withColumn(DigestTmp, rowDigest(col(partitionCol), col(tsCol), col(vecCol)))
+      .groupBy("partition")
+      .agg(
+        count(lit(1)).as("rc2"),
+        expr(s"bit_xor(${DigestTmp})").as("fd2"))
+    readManifest(spark, outDir)
+      .join(recomputed, Seq("partition"), "full_outer")
+      .where(
+        col("rowCount").isNull || col("rc2").isNull ||
+          col("rowCount") =!= col("rc2") || col("featureDigest") =!= col("fd2"))
+      .select("partition", "rowCount", "rc2", "featureDigest", "fd2")
+  }
+}

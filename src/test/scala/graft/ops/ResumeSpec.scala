@@ -1,0 +1,83 @@
+package graft.ops
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.pipeline.FeaturePipeline
+import graft.synth.SynthImages
+
+/** North-rule resumability: run → "kill" after k partitions → re-run →
+  * identical output + manifest lineage, completed partitions not recomputed
+  * (reference semantics: skip-if-exists `segment_feature_extractor.py:47-49`,
+  * completed-set diff `video_batch.py:8-10`). */
+class ResumeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def features = FeaturePipeline
+    .frameFeatures(SynthImages.table(spark, entities = 6, framesPerEntity = 64))
+    .select($"entity", $"ts", $"vec")
+
+  private def freshDir(tag: String): String = {
+    val d = s"/tmp/graft_resume_$tag"
+    val p = Paths.get(d)
+    if (Files.exists(p)) {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(d)).deleteRecursively()
+    }
+    d
+  }
+
+  test("kill/re-run converges to the uninterrupted result with intact lineage") {
+    // uninterrupted reference run
+    val refDir = freshDir("ref")
+    val n1 = Resume.processPending(spark, features, "entity", "ts", "vec", refDir, snapshotId = 1L)
+    assert(n1 == 6L)
+
+    // interrupted run: only 2 partitions complete before the "kill"
+    val dir = freshDir("killed")
+    val k1 = Resume.processPending(spark, features, "entity", "ts", "vec", dir, 1L, maxPartitions = 2)
+    assert(k1 == 2L)
+    val manifestAfterKill = Resume.readManifest(spark, dir)
+      .select($"partition", $"featureDigest").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(manifestAfterKill.size == 2)
+
+    // resume: picks up ONLY the remaining 4
+    val k2 = Resume.processPending(spark, features, "entity", "ts", "vec", dir, 2L)
+    assert(k2 == 4L)
+    // idempotent: a third run finds nothing pending
+    assert(Resume.processPending(spark, features, "entity", "ts", "vec", dir, 3L) == 0L)
+
+    // completed partitions kept their original manifest rows (not recomputed)
+    val finalManifest = Resume.readManifest(spark, dir)
+    assert(finalManifest.count() == 6L)
+    manifestAfterKill.foreach { case (p, d) =>
+      val row = finalManifest.where($"partition" === p).head()
+      assert(row.getLong(row.fieldIndex("featureDigest")) == d)
+      assert(row.getLong(row.fieldIndex("snapshotId")) == 1L, "must not be re-stamped")
+    }
+
+    // final data identical to the uninterrupted run
+    def slurp(d: String) = spark.read.parquet(s"$d/data")
+      .select($"entity", $"ts", to_json(graft.feats.VecOps.vecRound($"vec".cast("array<double>"), 4)))
+      .collect().map(_.toSeq).toSet
+    assert(slurp(dir) == slurp(refDir))
+
+    // lineage audit healthy on both
+    assert(Resume.audit(spark, dir, "entity", "ts", "vec").count() == 0L)
+    assert(Resume.audit(spark, refDir, "entity", "ts", "vec").count() == 0L)
+  }
+
+  test("audit flags a tampered partition") {
+    val dir = freshDir("tamper")
+    Resume.processPending(spark, features, "entity", "ts", "vec", dir, 1L)
+    // tamper: delete one partition's data directory
+    import scala.reflect.io.Directory
+    val victim = new java.io.File(s"$dir/data/__part=e0000")
+    assert(victim.exists())
+    new Directory(victim).deleteRecursively()
+    val bad = Resume.audit(spark, dir, "entity", "ts", "vec")
+    assert(bad.count() == 1L)
+    assert(bad.head().getString(0) == "e0000")
+  }
+}
