@@ -26,20 +26,35 @@ object Bench {
   }
 
   /** Flagship throughput at a given parallelism: frame-feature rows/sec of
-    * the full pipeline (decode UDF + LOCF + lag + session + per-second agg). */
-  private def flagshipRps(cpus: Int, entities: Int, frames: Int): (Long, Double) = {
+    * the full pipeline (decode UDF + LOCF + lag + session + per-second agg)
+    * reading the SAME pre-materialized parquet input table at every level —
+    * generation is not part of the measured job. */
+  private def flagshipRps(cpus: Int, inputPath: String): (Long, Double) = {
     val spark = session(cpus)
     try {
       // warm-up (JIT + codegen caches) on a small slice, not timed
       graft.pipeline.FeaturePipeline
-        .frameFeatures(graft.synth.SynthImages.table(spark, 4, 64)).count()
+        .frameFeatures(spark.read.parquet(inputPath).limit(2000)).count()
       val t0 = System.nanoTime()
       val rows = graft.pipeline.FeaturePipeline
-        .frameFeatures(graft.synth.SynthImages.table(spark, entities, frames))
+        .frameFeatures(spark.read.parquet(inputPath))
         .count()
       val sec = (System.nanoTime() - t0) / 1e9
       (rows, rows / sec)
     } finally spark.stop()
+  }
+
+  /** Materialize the synthetic image table once (untimed input fixture). */
+  private def materialize(entities: Int, frames: Int): String = {
+    val path = s"/tmp/graft_bench_images_${entities}x$frames"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path))) {
+      val spark = session(8)
+      try graft.synth.SynthImages.table(spark, entities, frames)
+        .repartition(64) // enough input splits to feed 32 threads
+        .write.mode("overwrite").parquet(path)
+      finally spark.stop()
+    }
+    path
   }
 
   def main(args: Array[String]): Unit = {
@@ -59,8 +74,9 @@ object Bench {
     spark.stop()
 
     // 2. scaling evidence: same input, N=8 vs 4N=32 threads
-    val (rows8, rps8) = flagshipRps(8, benchEntities, benchFrames)
-    val (rows32, rps32) = flagshipRps(32, benchEntities, benchFrames)
+    val inputPath = materialize(benchEntities, benchFrames)
+    val (rows8, rps8) = flagshipRps(8, inputPath)
+    val (rows32, rps32) = flagshipRps(32, inputPath)
     require(rows8 == rows32, "scaling runs must see identical input")
     val eff = (rps32 / rps8) / 4.0
 

@@ -280,8 +280,8 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, dir) =>
       graft.dedup.Dedup.exact(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
     "q_minhash_sig" -> ((s, dir) =>
-      s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"), graft.dedup.Dedup.minhashSignature(col("text"), 3, 16).as("sig"))),
+      graft.dedup.Dedup.minhashSigDf(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", 3, 16)
+        .select(col("doc").as("doc_id"), col("sig"))),
     "q_minhash_lsh" -> ((s, dir) =>
       graft.dedup.Dedup.minhashLsh(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
     "q_ngram_jaccard" -> ((s, dir) =>
