@@ -341,6 +341,28 @@ object SparkEntry {
         .select(col("user_id"), col("win_start_us"), col("n"),
           round(col("avg_v"), 4).as("avg_v"))
     }),
+    // ---- S4/A5: per-window ordered gather (collect_list sorted by ts) —
+    //      the reference's get_clip + vstack as one aggregate ----
+    "q_window_gather" -> ((s, dir) => {
+      ev(s, dir)
+        .groupBy(col("user_id"), floor(col("ts_us") / DayUs).as("win_id"))
+        .agg(
+          transform(
+            sort_array(collect_list(struct(col("ts_us"), col("event_id"), col("value")))),
+            x => round(x.getField("value"), 4)).as("vals"))
+    }),
+    // ---- W7: chunk-of-8 grouping (TSM n_segment) ----
+    "q_chunked" -> ((s, dir) => {
+      Windows
+        .chunked(ev(s, dir), "user_id", "ts_us", 8, Seq("event_id"))
+        .select(col("user_id"), col("event_id"), col("chunk_id"))
+    }),
+    // ---- S6: JSON scan — dynamic-schema extraction from the props column ----
+    "q_json_props" -> ((s, dir) => {
+      ev(s, dir).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+    }),
     // ---- J4/§7.3: resumable manifest job — runs the image feature job into
     //      a fresh dir in two snapshots (simulated kill), returns lineage ----
     "q_resume_manifest" -> ((s, _) => {
@@ -591,6 +613,17 @@ object SparkEntry {
     "q_streaming_tumbling" ->
       """SELECT user_id, (epoch_us(ts) // 86400000000) * 86400000000 AS win_start_us,
         |  count(*) AS n, round(avg(value), 4) AS avg_v
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_window_gather" ->
+      """SELECT user_id, epoch_us(ts) // 86400000000 AS win_id,
+        |  list(round(value, 4) ORDER BY ts, event_id) AS vals
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_chunked" ->
+      """SELECT user_id, event_id,
+        |  (row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1) // 8 AS chunk_id
+        |FROM events""".stripMargin,
+    "q_json_props" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events""".stripMargin
   )
 }

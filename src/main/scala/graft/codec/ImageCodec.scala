@@ -36,6 +36,12 @@ import org.apache.spark.sql.functions.udf
   */
 object ImageCodec {
 
+  // ImageIO defaults to a DISK-backed stream cache: every decode creates and
+  // deletes a temp file, which serializes 32 decode threads on the
+  // filesystem (observed: local[32] slower than local[8]). Memory-cached
+  // streams restore linear scaling.
+  ImageIO.setUseCache(false)
+
   /** ImageNet normalization constants used by every RGB backbone in the
     * reference (`extract_features.py:96-97`). */
   val ImagenetMean: Array[Float] = Array(0.485f, 0.456f, 0.406f)
@@ -47,13 +53,45 @@ object ImageCodec {
 
   // ---- pure scalar kernels (shared by UDFs and tests) ----
 
+  // Per-thread cached ImageReaders: ImageIO.read performs a synchronized
+  // registry lookup per call, which serializes 32 decode threads. Readers
+  // are not thread-safe, so cache one per (thread, format); format is
+  // sniffed from magic bytes (FF D8 = JPEG, 89 50 = PNG).
+  private val readerCache =
+    ThreadLocal.withInitial[java.util.HashMap[String, javax.imageio.ImageReader]](() =>
+      new java.util.HashMap[String, javax.imageio.ImageReader]())
+
+  private def readerFor(fmt: String): javax.imageio.ImageReader = {
+    val cache = readerCache.get()
+    var r = cache.get(fmt)
+    if (r == null) {
+      r = ImageIO.getImageReadersByFormatName(fmt).next()
+      cache.put(fmt, r)
+    }
+    r
+  }
+
+  /** Decode to a BufferedImage via the per-thread reader; null on failure. */
+  def decodeImage(bytes: Array[Byte]): BufferedImage = {
+    if (bytes == null || bytes.length < 4) return null
+    val fmt =
+      if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) "jpeg"
+      else if ((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P') "png"
+      else return null
+    try {
+      val reader = readerFor(fmt)
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      try {
+        reader.setInput(iis, true, true)
+        reader.read(0)
+      } finally iis.close()
+    } catch { case _: Exception => null }
+  }
+
   /** Decode encoded bytes to (CHW float pixels in [0,1], w, h);
     * null on failure — row-level fault tolerance. */
   def decodeWithDims(bytes: Array[Byte]): (Array[Float], Int, Int) = {
-    if (bytes == null) return null
-    val img =
-      try ImageIO.read(new ByteArrayInputStream(bytes))
-      catch { case _: Exception => null }
+    val img = decodeImage(bytes)
     if (img == null) return null
     (toChw(img), img.getWidth, img.getHeight)
   }
@@ -63,23 +101,40 @@ object ImageCodec {
     if (d == null) null else d._1
   }
 
-  private def toChw(img: BufferedImage): Array[Float] = {
+  // Reusable per-thread buffers for the whole decode→feature chain: at
+  // 10^4..10^5 decodes/sec/host the ~200KB of per-row intermediates would
+  // otherwise make the job GC-bound (observed 20x stalls at local[32]).
+  private final class Scratch {
+    var px: Array[Int] = new Array[Int](0)
+    var chw: Array[Float] = new Array[Float](0)
+    var resized: Array[Float] = new Array[Float](0)
+    var cropped: Array[Float] = new Array[Float](0)
+    def ints(n: Int): Array[Int] = { if (px.length < n) px = new Array[Int](n); px }
+    def chwBuf(n: Int): Array[Float] = { if (chw.length < n) chw = new Array[Float](n); chw }
+    def resizedBuf(n: Int): Array[Float] = { if (resized.length < n) resized = new Array[Float](n); resized }
+    def croppedBuf(n: Int): Array[Float] = { if (cropped.length < n) cropped = new Array[Float](n); cropped }
+  }
+  private val scratch = ThreadLocal.withInitial[Scratch](() => new Scratch)
+
+  private def toChwInto(img: BufferedImage, out: Array[Float]): Unit = {
     val w = img.getWidth
     val h = img.getHeight
-    val out = new Array[Float](3 * h * w)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val rgb = img.getRGB(x, y)
-        val i = y * w + x
-        out(i) = ((rgb >> 16) & 0xff) / 255.0f
-        out(h * w + i) = ((rgb >> 8) & 0xff) / 255.0f
-        out(2 * h * w + i) = (rgb & 0xff) / 255.0f
-        x += 1
-      }
-      y += 1
+    val hw = h * w
+    val px = scratch.get().ints(hw)
+    img.getRGB(0, 0, w, h, px, 0, w)
+    var i = 0
+    while (i < hw) {
+      val rgb = px(i)
+      out(i) = ((rgb >> 16) & 0xff) / 255.0f
+      out(hw + i) = ((rgb >> 8) & 0xff) / 255.0f
+      out(2 * hw + i) = (rgb & 0xff) / 255.0f
+      i += 1
     }
+  }
+
+  private def toChw(img: BufferedImage): Array[Float] = {
+    val out = new Array[Float](3 * img.getHeight * img.getWidth)
+    toChwInto(img, out)
     out
   }
 
@@ -90,6 +145,12 @@ object ImageCodec {
   def resizeArea(chw: Array[Float], h: Int, w: Int, outH: Int, outW: Int): Array[Float] = {
     if (chw == null) return null
     val out = new Array[Float](3 * outH * outW)
+    resizeAreaInto(chw, h, w, outH, outW, out)
+    out
+  }
+
+  private[codec] def resizeAreaInto(
+      chw: Array[Float], h: Int, w: Int, outH: Int, outW: Int, out: Array[Float]): Unit = {
     val sy = h.toDouble / outH
     val sx = w.toDouble / outW
     var c = 0
@@ -125,16 +186,21 @@ object ImageCodec {
       }
       c += 1
     }
-    out
   }
 
   /** Center crop CHW (h,w) to (c,c) — `T.CenterCrop`. */
   def centerCrop(chw: Array[Float], h: Int, w: Int, crop: Int): Array[Float] = {
     if (chw == null) return null
+    val out = new Array[Float](3 * crop * crop)
+    centerCropInto(chw, h, w, crop, out)
+    out
+  }
+
+  private[codec] def centerCropInto(
+      chw: Array[Float], h: Int, w: Int, crop: Int, out: Array[Float]): Unit = {
     require(crop <= h && crop <= w, s"crop $crop > image ${h}x$w")
     val dy = (h - crop) / 2
     val dx = (w - crop) / 2
-    val out = new Array[Float](3 * crop * crop)
     var c = 0
     while (c < 3) {
       var y = 0
@@ -148,13 +214,19 @@ object ImageCodec {
       }
       c += 1
     }
-    out
   }
 
   /** Per-channel (x - mean) / std — `T.Normalize`. */
   def normalize(chw: Array[Float], hw: Int, mean: Array[Float], std: Array[Float]): Array[Float] = {
     if (chw == null) return null
     val out = new Array[Float](chw.length)
+    normalizeInto(chw, hw, mean, std, out)
+    out
+  }
+
+  /** In-place-safe normalize (out may alias chw). */
+  private[codec] def normalizeInto(
+      chw: Array[Float], hw: Int, mean: Array[Float], std: Array[Float], out: Array[Float]): Unit = {
     var c = 0
     while (c < 3) {
       var i = 0
@@ -164,7 +236,6 @@ object ImageCodec {
       }
       c += 1
     }
-    out
   }
 
   /** RGB→L grayscale, ITU-R 601-2 luma — the reference's `convert("L")`
@@ -230,13 +301,18 @@ object ImageCodec {
   /** The fused per-row pipeline: decode → area-resize(resizeTo) →
     * centerCrop(cropTo) → ImageNet-normalize → feature head. */
   def pipeline(bytes: Array[Byte], resizeTo: Int, cropTo: Int): Array[Float] = {
-    val d = decodeWithDims(bytes)
-    if (d == null) return null
-    val (px, w, h) = d
-    val resized = resizeArea(px, h, w, resizeTo, resizeTo)
-    val cropped = centerCrop(resized, resizeTo, resizeTo, cropTo)
-    val normed = normalize(cropped, cropTo * cropTo, ImagenetMean, ImagenetStd)
-    featureHead(normed, cropTo)
+    val img = decodeImage(bytes)
+    if (img == null) return null
+    val sc = scratch.get()
+    val chw = sc.chwBuf(3 * img.getHeight * img.getWidth)
+    toChwInto(img, chw)
+    val resized = sc.resizedBuf(3 * resizeTo * resizeTo)
+    resizeAreaInto(chw, img.getHeight, img.getWidth, resizeTo, resizeTo, resized)
+    val cropped = sc.croppedBuf(3 * cropTo * cropTo)
+    centerCropInto(resized, resizeTo, resizeTo, cropTo, cropped)
+    // normalize in place on the cropped scratch (cropped is not reused after)
+    normalizeInto(cropped, cropTo * cropTo, ImagenetMean, ImagenetStd, cropped)
+    featureHead(cropped, cropTo) // allocates only the 54-float result
   }
 
   // ---- UDF surface ----

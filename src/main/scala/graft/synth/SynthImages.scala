@@ -30,6 +30,8 @@ import graft.model.Schemas.ImageRow
   */
 object SynthImages {
 
+  ImageIO.setUseCache(false) // memory-cached encode streams (see ImageCodec)
+
   val Seed = 42L
   val Fps = 30
   val ImgW = 64
