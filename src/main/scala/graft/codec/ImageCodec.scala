@@ -304,15 +304,83 @@ object ImageCodec {
     val img = decodeImage(bytes)
     if (img == null) return null
     val sc = scratch.get()
-    val chw = sc.chwBuf(3 * img.getHeight * img.getWidth)
-    toChwInto(img, chw)
+    val h = img.getHeight
+    val w = img.getWidth
     val resized = sc.resizedBuf(3 * resizeTo * resizeTo)
-    resizeAreaInto(chw, img.getHeight, img.getWidth, resizeTo, resizeTo, resized)
+    // fused decode→resize straight off the raster when the layout allows it
+    // (skips a 2×48KB float CHW round-trip per row — the decode stage is
+    // memory-bandwidth-bound at high thread counts); bit-identical math.
+    if (!resizeAreaFromRaster(img, resizeTo, resizeTo, resized)) {
+      val chw = sc.chwBuf(3 * h * w)
+      toChwInto(img, chw)
+      resizeAreaInto(chw, h, w, resizeTo, resizeTo, resized)
+    }
     val cropped = sc.croppedBuf(3 * cropTo * cropTo)
     centerCropInto(resized, resizeTo, resizeTo, cropTo, cropped)
     // normalize in place on the cropped scratch (cropped is not reused after)
     normalizeInto(cropped, cropTo * cropTo, ImagenetMean, ImagenetStd, cropped)
     featureHead(cropped, cropTo) // allocates only the 54-float result
+  }
+
+  /** Area-resize reading pixel values directly from a TYPE_3BYTE_BGR raster
+    * (the layout both our JPEG and PNG readers produce). Exactly the
+    * resizeAreaInto loop with `chw(off + yy*w + xx)` replaced by
+    * `(raster byte & 0xff) / 255f` — identical float values, so parity with
+    * the pure kernels is preserved. Returns false when the layout differs
+    * (caller falls back to the generic path). */
+  private def resizeAreaFromRaster(
+      img: BufferedImage, outH: Int, outW: Int, out: Array[Float]): Boolean = {
+    if (img.getType != BufferedImage.TYPE_3BYTE_BGR) return false
+    val raster = img.getRaster
+    val sm = raster.getSampleModel match {
+      case m: java.awt.image.PixelInterleavedSampleModel => m
+      case _ => return false
+    }
+    val buf = raster.getDataBuffer match {
+      case b: java.awt.image.DataBufferByte => b.getData
+      case _ => return false
+    }
+    if (sm.getPixelStride != 3) return false
+    val stride = sm.getScanlineStride
+    val h = img.getHeight
+    val w = img.getWidth
+    val sy = h.toDouble / outH
+    val sx = w.toDouble / outW
+    var c = 0
+    while (c < 3) {
+      val boff = 2 - c // BGR byte order: R at +2, G at +1, B at +0
+      val ooff = c * outH * outW
+      var oy = 0
+      while (oy < outH) {
+        val y0 = oy * sy
+        val y1 = (oy + 1) * sy
+        var ox = 0
+        while (ox < outW) {
+          val x0 = ox * sx
+          val x1 = (ox + 1) * sx
+          var acc = 0.0
+          var area = 0.0
+          var yy = math.floor(y0).toInt
+          while (yy < math.ceil(y1).toInt && yy < h) {
+            val wy = math.min(y1, yy + 1.0) - math.max(y0, yy.toDouble)
+            var xx = math.floor(x0).toInt
+            while (xx < math.ceil(x1).toInt && xx < w) {
+              val wx = math.min(x1, xx + 1.0) - math.max(x0, xx.toDouble)
+              val v = ((buf(yy * stride + xx * 3 + boff) & 0xff) / 255.0f)
+              acc += v * wy * wx
+              area += wy * wx
+              xx += 1
+            }
+            yy += 1
+          }
+          out(ooff + oy * outW + ox) = (acc / area).toFloat
+          ox += 1
+        }
+        oy += 1
+      }
+      c += 1
+    }
+    true
   }
 
   // ---- UDF surface ----
