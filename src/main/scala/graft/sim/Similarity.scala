@@ -10,8 +10,8 @@ import graft.synth.SynthImages
 /** Approximate-nearest-neighbor search over an embedding column.
   *
   * [[bruteTopK]] is the exact baseline (oracle-checkable): broadcast the
-  * (small) query set against the corpus, cosine via codegen'd
-  * `zip_with`/`aggregate`, per-query top-k by window rank — ranking on the
+  * (small) query set against the corpus, cosine via a compiled UDF
+  * (same left-to-right double accumulation as DuckDB), top-k by window rank — ranking on the
   * rounded score with an id tie-break so float summation order can never
   * flip ranks between engines.
   *
@@ -76,7 +76,7 @@ object Similarity {
       .crossJoin(broadcast(
         queries.select(col(qIdCol).as("query_id"), col(qVecCol).cast("array<double>").as("qv"))))
       .where(col("nn_id") =!= col("query_id"))
-      .withColumn("cos", round(VecOps.cosine(col("v"), col("qv")), 6))
+      .withColumn("cos", round(VecOps.cosineUdf(col("v"), col("qv")), 6))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("nn_id"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -109,7 +109,7 @@ object Similarity {
     q.join(c, Seq("tbl", "sig"))
       .where(col("nn_id") =!= col("query_id"))
       .dropDuplicates("query_id", "nn_id")
-      .withColumn("cos", round(VecOps.cosine(col("v"), col("qv")), 6))
+      .withColumn("cos", round(VecOps.cosineUdf(col("v"), col("qv")), 6))
       .withColumn(
         "rank",
         row_number().over(Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("nn_id"))))
