@@ -25,6 +25,21 @@ object SparkEntry {
     * code spreads a hot entity over (span/width) tasks. */
   private val AsOfBucketUs = 2L * DayUs
 
+  /** Driver-comparable form of a double-array column: each element rounded
+    * to `d` decimals then emitted as a fixed-point integer (×10^d), joined
+    * into "[a,b,…]". The driver's pandas comparator sorts/hashes every output
+    * column and cannot handle raw array values (round-1 lesson: 6 queries
+    * erred with `unhashable type: numpy.ndarray`); fixed-point integers avoid
+    * engine-specific float→string formatting on top of the proven
+    * round(x, d) agreement between Spark and DuckDB. */
+  private def vecFixed(c: Column, d: Int): Column = {
+    val scale = math.pow(10, d)
+    concat(
+      lit("["),
+      concat_ws(",", transform(c, x => round(round(x, d) * scale).cast("long").cast("string"))),
+      lit("]"))
+  }
+
   private def ev(s: SparkSession, dir: String): DataFrame =
     // ts is TIMESTAMP_NTZ in the parquet; session tz is pinned UTC, so the
     // cast makes unix_micros agree with DuckDB's epoch_us on the naive value.
@@ -212,7 +227,7 @@ object SparkEntry {
         .agg(
           VecOps.vecAvg(col("embedding").cast("array<double>")).as("raw"),
           count(lit(1)).as("n"))
-        .select(col("label"), VecOps.vecRound(col("raw"), 4).as("vec_avg"), col("n"))
+        .select(col("label"), vecFixed(col("raw"), 4).as("vec_avg"), col("n"))
     }),
     // ---- generic agg/join sanity (TPC-H-ish) ----
     "q1_agg" -> ((s, dir) => {
@@ -257,7 +272,7 @@ object SparkEntry {
           col(AsOfJoin.SrcTs),
           col("f_caption"),
           col("f_session"),
-          graft.feats.VecOps.vecRound(col("f_vec").cast("array<double>"), 4).as("f_vec"))
+          vecFixed(col("f_vec").cast("array<double>"), 4).as("f_vec"))
     }),
     // per-second tumbling mean features with BOTH tail semantics (A2 vs A3)
     "q_image_seconds_ceil" -> ((s, _) => {
@@ -266,7 +281,7 @@ object SparkEntry {
       graft.pipeline.FeaturePipeline
         .secondFeatures(ff, Windows.CeilTail)
         .select(col("entity"), col("sec"), col("win_n"),
-          graft.feats.VecOps.vecRound(col("sec_vec"), 4).as("sec_vec"))
+          vecFixed(col("sec_vec"), 4).as("sec_vec"))
     }),
     "q_image_seconds_floor" -> ((s, _) => {
       val ff = graft.pipeline.FeaturePipeline
@@ -274,14 +289,14 @@ object SparkEntry {
       graft.pipeline.FeaturePipeline
         .secondFeatures(ff, Windows.FloorTail)
         .select(col("entity"), col("sec"), col("win_n"),
-          graft.feats.VecOps.vecRound(col("sec_vec"), 4).as("sec_vec"))
+          vecFixed(col("sec_vec"), 4).as("sec_vec"))
     }),
     // ---- deduplication suite (training-data pipeline ops) ----
     "q_dedup_exact" -> ((s, dir) =>
       graft.dedup.Dedup.exact(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
     "q_minhash_sig" -> ((s, dir) =>
       graft.dedup.Dedup.minhashSigDf(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", 3, 16)
-        .select(col("doc").as("doc_id"), col("sig"))),
+        .select(col("doc").as("doc_id"), concat_ws("|", col("sig")).as("sig"))),
     "q_minhash_lsh" -> ((s, dir) =>
       graft.dedup.Dedup.minhashLsh(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
     "q_ngram_jaccard" -> ((s, dir) =>
@@ -289,9 +304,15 @@ object SparkEntry {
     "q_simhash" -> ((s, dir) =>
       s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), graft.dedup.Dedup.simhash(col("text")).as("simhash"))),
-    "q_cosine_near_dup" -> ((s, dir) =>
-      graft.dedup.Dedup.cosineNearDup(
-        s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding", 0.45)),
+    "q_cosine_near_dup" -> ((s, dir) => {
+      // Exact all-pairs form is ORACLE duty only (the scale path is
+      // Similarity.annLsh). Bench caps the O(n²) input via a system property
+      // so it never dominates the time budget; Verify leaves it unset.
+      val emb0 = s.read.parquet(s"$dir/embeddings.parquet")
+      val emb = sys.props.get("graft.bench.cosineCap")
+        .map(c => emb0.where(col("vec_id") < c.toLong)).getOrElse(emb0)
+      graft.dedup.Dedup.cosineNearDup(emb, "vec_id", "embedding", 0.45)
+    }),
     // ---- similarity search ----
     "q_ann_topk" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
@@ -327,6 +348,7 @@ object SparkEntry {
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$dir/events.parquet"),
         stage.resolve("events.parquet"))
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt")
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val q = graft.streaming.StreamingFeatures
         .tumblingAgg(s.readStream.schema(schema).parquet(stage.toString), "1 day", "0 seconds")
@@ -334,9 +356,22 @@ object SparkEntry {
         .outputMode("complete")
         .format("memory")
         .queryName("q_streaming_tumbling_sink")
+        .option("checkpointLocation", ckpt.toString)
         .start()
-      q.processAllAvailable()
-      q.stop()
+      try {
+        q.processAllAvailable()
+      } finally {
+        // deterministic shutdown: stop + await so the state-store maintenance
+        // thread is not left running against a stopping SparkEnv, then drop
+        // the checkpoint/stage dirs (round-1 bench leaked both).
+        q.stop()
+        q.awaitTermination()
+        Seq(ckpt, stage).foreach { p =>
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+            .foreach(f => java.nio.file.Files.deleteIfExists(f))
+        }
+      }
       s.table("q_streaming_tumbling_sink")
         .select(col("user_id"), col("win_start_us"), col("n"),
           round(col("avg_v"), 4).as("avg_v"))
@@ -347,9 +382,14 @@ object SparkEntry {
       ev(s, dir)
         .groupBy(col("user_id"), floor(col("ts_us") / DayUs).as("win_id"))
         .agg(
-          transform(
-            sort_array(collect_list(struct(col("ts_us"), col("event_id"), col("value")))),
-            x => round(x.getField("value"), 4)).as("vals"))
+          concat(
+            lit("["),
+            concat_ws(
+              ",",
+              transform(
+                sort_array(collect_list(struct(col("ts_us"), col("event_id"), col("value")))),
+                x => round(round(x.getField("value"), 4) * 10000).cast("long").cast("string"))),
+            lit("]")).as("vals"))
     }),
     // ---- W7: chunk-of-8 grouping (TSM n_segment) ----
     "q_chunked" -> ((s, dir) => {
@@ -470,7 +510,9 @@ object SparkEntry {
           |  FROM embeddings),
           |a AS (SELECT label, pos, avg(v) AS m FROM e GROUP BY label, pos),
           |c AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label)
-          |SELECT a.label AS label, list(round(m, 4) ORDER BY pos) AS vec_avg, max(c.n) AS n
+          |SELECT a.label AS label,
+          |  '[' || array_to_string(list(CAST(round(round(m, 4) * 10000) AS BIGINT) ORDER BY pos), ',') || ']' AS vec_avg,
+          |  max(c.n) AS n
           |FROM a JOIN c USING (label) GROUP BY a.label""".stripMargin,
       "q1_agg" ->
         """SELECT l_returnflag, l_linestatus,
@@ -510,7 +552,7 @@ object SparkEntry {
          |e AS (SELECT doc_id, unnest(shs) AS s FROM sh),
          |m AS (SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || s)) AS mh
          |      FROM e, (SELECT unnest(range(0, 16)) AS seed) GROUP BY doc_id, seed)
-         |SELECT doc_id, list(mh ORDER BY seed) AS sig FROM m GROUP BY doc_id""".stripMargin,
+         |SELECT doc_id, array_to_string(list(mh ORDER BY seed), '|') AS sig FROM m GROUP BY doc_id""".stripMargin,
     "q_minhash_lsh" ->
       s"""WITH sh AS ($ShinglesCte),
          |e AS (SELECT doc_id, unnest(shs) AS s FROM sh),
@@ -528,14 +570,18 @@ object SparkEntry {
          |WHERE len(list_intersect(x.shs, y.shs))::DOUBLE /
          |      (len(x.shs) + len(y.shs) - len(list_intersect(x.shs, y.shs))) >= 0.5""".stripMargin,
     "q_ngram_jaccard" ->
-      s"""WITH sh AS ($ShinglesCte)
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |  round(len(list_intersect(a.shs, b.shs))::DOUBLE /
-         |        (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))), 4) AS jaccard
-         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |WHERE len(list_intersect(a.shs, b.shs)) > 0
-         |  AND len(list_intersect(a.shs, b.shs))::DOUBLE /
-         |      (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))) >= 0.5""".stripMargin,
+      s"""WITH sh AS ($ShinglesCte),
+         |e AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+         |keep AS (SELECT s FROM e GROUP BY s HAVING count(*) <= 100),
+         |ek AS (SELECT doc_id, s FROM e JOIN keep USING (s)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM ek a JOIN ek b ON a.s = b.s AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  round(len(list_intersect(x.shs, y.shs))::DOUBLE /
+         |        (len(x.shs) + len(y.shs) - len(list_intersect(x.shs, y.shs))), 4) AS jaccard
+         |FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b
+         |WHERE len(list_intersect(x.shs, y.shs))::DOUBLE /
+         |      (len(x.shs) + len(y.shs) - len(list_intersect(x.shs, y.shs))) >= 0.5""".stripMargin,
     "q_simhash" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t FROM documents),
@@ -616,7 +662,7 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2""".stripMargin,
     "q_window_gather" ->
       """SELECT user_id, epoch_us(ts) // 86400000000 AS win_id,
-        |  list(round(value, 4) ORDER BY ts, event_id) AS vals
+        |  '[' || array_to_string(list(CAST(round(round(value, 4) * 10000) AS BIGINT) ORDER BY ts, event_id), ',') || ']' AS vals
         |FROM events GROUP BY 1, 2""".stripMargin,
     "q_chunked" ->
       """SELECT user_id, event_id,

@@ -146,21 +146,25 @@ object Dedup {
       (a, x) => a.bitwiseOR(x))
   }
 
-  /** Exact n-gram Jaccard near-dup pairs via an inverted shingle index
-    * (explode distinct shingles → self-join on shingle → shared counts →
-    * Jaccard). Complete for any tau > 0 (a pair with no shared shingle has
-    * J = 0). `maxDf` optionally drops ubiquitous shingles before the join —
-    * the skew guard at web scale (changes candidate recall only for pairs
-    * whose every shared shingle is ubiquitous). */
+  /** n-gram Jaccard near-dup pairs via an inverted shingle index: explode
+    * distinct shingles → document-frequency guard → self-join on shingle for
+    * CANDIDATE pairs only → exact Jaccard verify on the full shingle sets.
+    *
+    * The `maxDf` guard is ON by default — it is what keeps the self-join
+    * linear at web scale: without it one shingle shared by k documents makes
+    * k² candidate rows (a boilerplate header at 10^12 docs is a job-killer).
+    * Because the verify recomputes Jaccard from the FULL shingle arrays, the
+    * guard affects candidate recall only (a pair is missed iff EVERY shared
+    * shingle exceeds maxDf — i.e. the pair is pure boilerplate); every
+    * emitted J value is exact. `maxDf <= 0` disables the guard. */
   def ngramJaccard(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       shingleN: Int = 3,
       tau: Double = 0.5,
-      maxDf: Long = 0L): DataFrame = {
+      maxDf: Long = 100L): DataFrame = {
     val withSh = docs.select(col(idCol).as("doc"), shingles(col(textCol), shingleN).as("sh"))
-    val sizes = withSh.select(col("doc"), size(col("sh")).as("sz"))
     val inv0 = withSh.select(col("doc"), explode(col("sh")).as("s"))
     val inv =
       if (maxDf <= 0) inv0
@@ -168,18 +172,19 @@ object Dedup {
         val df = inv0.groupBy("s").agg(count(lit(1)).as("df")).where(col("df") <= maxDf)
         inv0.join(df.select("s"), Seq("s"), "left_semi")
       }
-    val shared = inv
+    val cand = inv
       .select(col("doc").as("doc_a"), col("s"))
       .join(inv.select(col("doc").as("doc_b"), col("s")), Seq("s"))
       .where(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("shared"))
-    shared
-      .join(sizes.withColumnsRenamed(Map("doc" -> "doc_a", "sz" -> "sz_a")), Seq("doc_a"))
-      .join(sizes.withColumnsRenamed(Map("doc" -> "doc_b", "sz" -> "sz_b")), Seq("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    cand
+      .join(withSh.select(col("doc").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(withSh.select(col("doc").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .withColumn(
         "jaccard",
-        col("shared").cast("double") / (col("sz_a") + col("sz_b") - col("shared")))
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
       .where(col("jaccard") >= tau)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
