@@ -291,6 +291,27 @@ object SparkEntry {
         .select(col("entity"), col("sec"), col("win_n"),
           vecFixed(col("sec_vec"), 4).as("sec_vec"))
     }),
+    // ---- P8: grayscale (ITU-R 601-2 luma) over CHW-planar numeric arrays:
+    //      first 48 embedding elements as a 3×16 CHW plane ----
+    "q_grayscale" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val luma = graft.codec.ImageCodec.lumaCol(col("embedding").cast("array<double>"), 16)
+      emb.select(
+        col("vec_id"),
+        vecFixed(luma, 4).as("luma"),
+        round(aggregate(luma, lit(0.0), (a, x) => a + x) / 16, 4).as("mean_luma"))
+    }),
+    // ---- P11: depth-style clamp+scale via the REAL float kernel (maxV a
+    //      power of two ⇒ float divide exact ⇒ engine-portable) ----
+    "q_depth_clamp" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val clamped = graft.codec.ImageCodec.clampScaleUdf(0.0f, 0.25f)(col("embedding"))
+        .cast("array<double>")
+      emb.select(
+        col("vec_id"),
+        vecFixed(clamped, 4).as("clamped"),
+        size(filter(col("embedding"), x => x < 0.0f || x > 0.25f)).cast("long").as("n_clipped"))
+    }),
     // ---- deduplication suite (training-data pipeline ops) ----
     "q_dedup_exact" -> ((s, dir) =>
       graft.dedup.Dedup.exact(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
@@ -544,6 +565,23 @@ object SparkEntry {
       |FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk FROM documents)""".stripMargin
 
   private def dedupOracles: Map[String, String] = Map(
+    "q_grayscale" ->
+      """WITH l AS (
+        |  SELECT vec_id,
+        |    [0.299::DOUBLE * embedding[i]::DOUBLE + 0.587::DOUBLE * embedding[i+16]::DOUBLE
+        |       + 0.114::DOUBLE * embedding[i+32]::DOUBLE for i in range(1, 17)] AS luma
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  '[' || array_to_string([CAST(round(round(x, 4) * 10000) AS BIGINT) for x in luma], ',') || ']' AS luma,
+        |  round(list_sum(luma) / 16, 4) AS mean_luma
+        |FROM l""".stripMargin,
+    "q_depth_clamp" ->
+      """SELECT vec_id,
+        |  '[' || array_to_string(
+        |    [CAST(round(round(least(greatest(x::DOUBLE, 0.0), 0.25) / 0.25, 4) * 10000) AS BIGINT)
+        |     for x in embedding], ',') || ']' AS clamped,
+        |  len([x for x in embedding if x < 0.0 OR x > 0.25]) AS n_clipped
+        |FROM embeddings""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY text""".stripMargin,

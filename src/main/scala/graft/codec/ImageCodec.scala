@@ -396,4 +396,26 @@ object ImageCodec {
 
   def imageFeaturesCol(bytes: Column, resizeTo: Int, cropTo: Int): Column =
     imageFeatures(resizeTo, cropTo)(bytes)
+
+  /** ITU-R 601-2 luma over a CHW-planar numeric array column — the
+    * oracle-checkable double-math form of the float kernel [[grayscale]]
+    * (P8; reference `multimodal_segment_feature_extractor.py:65-66`). Pure
+    * column algebra: stays inside whole-stage codegen, no UDF boundary. */
+  def lumaCol(chw: Column, hw: Int): Column = {
+    import org.apache.spark.sql.functions._
+    transform(
+      sequence(lit(0), lit(hw - 1)),
+      i =>
+        lit(0.299) * element_at(chw, i + 1) +
+          lit(0.587) * element_at(chw, i + 1 + hw) +
+          lit(0.114) * element_at(chw, i + 1 + 2 * hw))
+  }
+
+  /** The float [[clampScale]] kernel as a UDF (P11; reference
+    * `omnivore_transforms.py:43-63`). With a power-of-two `maxV` the divide
+    * is exact in float32, so results are bit-identical to any engine's
+    * double math — the oracle-checkable configuration. */
+  def clampScaleUdf(minV: Float, maxV: Float): UserDefinedFunction =
+    udf((v: Seq[Float]) =>
+      Option(v).map(s => clampScale(s.toArray, minV, maxV).toSeq))
 }

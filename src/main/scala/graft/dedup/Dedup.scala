@@ -147,16 +147,18 @@ object Dedup {
   }
 
   /** n-gram Jaccard near-dup pairs via an inverted shingle index: explode
-    * distinct shingles → document-frequency guard → self-join on shingle for
-    * CANDIDATE pairs only → exact Jaccard verify on the full shingle sets.
+    * distinct shingles → document-frequency guard → self-join on shingle →
+    * per-pair shared counts → exact Jaccard.
     *
     * The `maxDf` guard is ON by default — it is what keeps the self-join
     * linear at web scale: without it one shingle shared by k documents makes
     * k² candidate rows (a boilerplate header at 10^12 docs is a job-killer).
-    * Because the verify recomputes Jaccard from the FULL shingle arrays, the
-    * guard affects candidate recall only (a pair is missed iff EVERY shared
-    * shingle exceeds maxDf — i.e. the pair is pure boilerplate); every
-    * emitted J value is exact. `maxDf <= 0` disables the guard. */
+    * Guarded-out shingles are NOT lost from the math: each doc's hot
+    * shingles collapse to one tiny array and the pair's shared count is
+    * corrected by the hot-array intersection, so every emitted J value is
+    * exact. The guard affects candidate recall only — a pair is missed iff
+    * EVERY shared shingle exceeds maxDf, i.e. the pair is pure boilerplate.
+    * `maxDf <= 0` disables the guard. */
   def ngramJaccard(
       docs: DataFrame,
       idCol: String,
@@ -165,26 +167,48 @@ object Dedup {
       tau: Double = 0.5,
       maxDf: Long = 100L): DataFrame = {
     val withSh = docs.select(col(idCol).as("doc"), shingles(col(textCol), shingleN).as("sh"))
+    val sizes = withSh.select(col("doc"), size(col("sh")).as("sz"))
     val inv0 = withSh.select(col("doc"), explode(col("sh")).as("s"))
-    val inv =
-      if (maxDf <= 0) inv0
+    // Split the index at the df guard: the COLD side drives the candidate
+    // self-join (pair counts only — no shingle array ever crosses a shuffle,
+    // which is what makes the verify step linear in candidate pairs), the
+    // HOT side collapses to one tiny per-doc array (few shingles exceed
+    // maxDf by definition) used to correct the shared count back to exact.
+    val (inv, hotPerDoc) =
+      if (maxDf <= 0) (inv0, None)
       else {
-        val df = inv0.groupBy("s").agg(count(lit(1)).as("df")).where(col("df") <= maxDf)
-        inv0.join(df.select("s"), Seq("s"), "left_semi")
+        val hot = inv0.groupBy("s").agg(count(lit(1)).as("df"))
+          .where(col("df") > maxDf).select("s")
+        (
+          inv0.join(hot, Seq("s"), "left_anti"),
+          Some(
+            inv0.join(hot, Seq("s"), "left_semi")
+              .groupBy("doc").agg(sort_array(collect_list(col("s"))).as("__hot"))))
       }
-    val cand = inv
+    val sharedCold = inv
       .select(col("doc").as("doc_a"), col("s"))
       .join(inv.select(col("doc").as("doc_b"), col("s")), Seq("s"))
       .where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
-      .distinct()
-    cand
-      .join(withSh.select(col("doc").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-      .join(withSh.select(col("doc").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("__shared"))
+    val shared = hotPerDoc match {
+      case None => sharedCold
+      case Some(h) =>
+        sharedCold
+          .join(h.withColumnsRenamed(Map("doc" -> "doc_a", "__hot" -> "__hot_a")), Seq("doc_a"), "left")
+          .join(h.withColumnsRenamed(Map("doc" -> "doc_b", "__hot" -> "__hot_b")), Seq("doc_b"), "left")
+          .withColumn(
+            "__shared",
+            col("__shared") +
+              coalesce(size(array_intersect(col("__hot_a"), col("__hot_b"))), lit(0)))
+          .select("doc_a", "doc_b", "__shared")
+    }
+    shared
+      .join(sizes.withColumnsRenamed(Map("doc" -> "doc_a", "sz" -> "sz_a")), Seq("doc_a"))
+      .join(sizes.withColumnsRenamed(Map("doc" -> "doc_b", "sz" -> "sz_b")), Seq("doc_b"))
       .withColumn(
         "jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+        col("__shared").cast("double") / (col("sz_a") + col("sz_b") - col("__shared")))
       .where(col("jaccard") >= tau)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }

@@ -169,9 +169,11 @@ object AsOfJoin {
       .repartitionByRange(parts, col(entityCol), col(B))
       .sortWithinPartitions(col(entityCol), col(B), col(tsCol), col(TAG))
 
+    // SrcTs carries the matched build row's ts — same type as the ts column
+    // itself (hardcoding LongType would mis-encode int/timestamp ts inputs).
     val outSchema = StructType(
       probeType.fields ++
-        (StructField(SrcTs, LongType, nullable = true) +:
+        (StructField(SrcTs, sorted.schema(tsCol).dataType, nullable = true) +:
           payType.fields.map(_.copy(nullable = true))))
     val payWidth = payType.fields.length
 

@@ -71,14 +71,16 @@ object Resume {
       snapshotId: Long,
       maxPartitions: Int = Int.MaxValue): Long = {
     val manifest = readManifest(spark, outDir)
-    val todo = pending(features, partitionCol, manifest)
+    // pending partitions are O(partitions) and capped by maxPartitions —
+    // collect ONCE and reuse (count + work filter + read-back pruning).
+    val todoParts = pending(features, partitionCol, manifest)
       .orderBy("partition")
       .limit(maxPartitions)
-    val todoCount = todo.count()
-    if (todoCount == 0) return 0L
+      .collect()
+      .map(_.get(0))
+    if (todoParts.isEmpty) return 0L
 
-    val work = features.join(broadcast(todo),
-      features(partitionCol) === todo("partition"), "left_semi")
+    val work = features.where(col(partitionCol).isin(todoParts: _*))
     work
       .withColumn("__part", col(partitionCol))
       .write
@@ -86,12 +88,24 @@ object Resume {
       .partitionBy("__part")
       .parquet(s"$outDir/data")
 
-    val inputs = work
+    // Manifest stats from the files just WRITTEN, not a second evaluation of
+    // `features` (round-1 issue: the expensive feature plan ran twice, and a
+    // nondeterministic upstream could record stats that don't match the
+    // persisted data, breaking the audit contract). `inputFiles` is the
+    // Iceberg-manifest reading of lineage: the data files backing the
+    // partition at this snapshot (input_file_name() of the read-back; always
+    // file-backed here since we just wrote parquet).
+    // Filter on the __part DIRECTORY column so the read-back partition-prunes
+    // to the just-written directories (a semi-join on the data column would
+    // rescan every historical partition's vectors).
+    val written = spark.read.parquet(s"$outDir/data")
+      .where(col("__part").cast("string").isin(todoParts.map(_.toString): _*))
+    val inputs = written
       .withColumn("__file", input_file_name())
       .withColumn(DigestTmp, rowDigest(col(partitionCol), col(tsCol), col(vecCol)))
       .groupBy(col(partitionCol).as("partition"))
       .agg(
-        sort_array(collect_set(col("__file"))).as("inputFiles"),
+        sort_array(collect_set(when(length(col("__file")) > 0, col("__file")))).as("inputFiles"),
         count(lit(1)).as("rowCount"),
         expr(s"bit_xor(${DigestTmp})").as("featureDigest"))
       .withColumn("snapshotId", lit(snapshotId))
@@ -99,7 +113,7 @@ object Resume {
       .select("snapshotId", "partition", "inputFiles", "rowCount", "featureDigest", "completedAt")
     inputs.write.mode(SaveMode.Append).parquet(manifestPath(outDir))
     writeSnapshot(spark, outDir, snapshotId)
-    todoCount
+    todoParts.length.toLong
   }
 
   /** JSON snapshot pointer: snapshot id + manifest stats (Iceberg's

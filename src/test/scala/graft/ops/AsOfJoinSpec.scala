@@ -75,6 +75,17 @@ class AsOfJoinSpec extends SparkSpec {
     runVariant(merge = true)
   }
 
+  test("asOfMerge emits asof_src_ts with the ts column's own type (int ts)") {
+    // regression: outSchema hardcoded LongType, so an int ts column made the
+    // mapPartitions Row encoder fail at runtime
+    val build = Seq(("e0", 1, 1.0), ("e0", 5, 5.0)).toDF("entity", "ts", "v")
+    val probes = Seq(("e0", 3, 0), ("e0", 9, 1)).toDF("entity", "ts", "probe_id")
+    val out = AsOfJoin.asOfMerge(probes, build, "entity", "ts", Seq("v"), 4L)
+    assert(out.schema(AsOfJoin.SrcTs).dataType == org.apache.spark.sql.types.IntegerType)
+    val got = out.orderBy("ts").collect().map(r => (r.getInt(1), r.getInt(3), r.getDouble(4)))
+    assert(got.toSeq == Seq((3, 1, 1.0), (9, 5, 5.0)))
+  }
+
   test("bucket width does not change semantics") {
     val build = buildRows.toDF("entity", "ts", "v")
     val probes = probeRows.zipWithIndex.map { case ((e, t), i) => (e, t, i) }
