@@ -312,6 +312,57 @@ object SparkEntry {
         vecFixed(clamped, 4).as("clamped"),
         size(filter(col("embedding"), x => x < 0.0f || x > 0.25f)).cast("long").as("n_clipped"))
     }),
+    // ---- K5: depth sink codec — the FULL encode(16-bit PNG)→decode path
+    //      surfaced as integer samples (quantization is double-exact, so
+    //      DuckDB reproduces every sample bit-for-bit) ----
+    "q_depth_roundtrip" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val enc = graft.codec.DepthCodec.encodeUdf(8, 8, 0.25f)(col("embedding"))
+      emb.select(
+        col("vec_id"),
+        concat(
+          lit("["),
+          concat_ws(",", transform(
+            graft.codec.DepthCodec.decodeSamplesUdf(enc),
+            x => x.cast("string"))),
+          lit("]")).as("samples"))
+    }),
+    // ---- S7/K4: audio — REAL PCM16 WAV encode→decode round trip over a
+    //      deterministic synthetic wave (int16 targets chosen so the float
+    //      quantization is provably exact ⇒ DuckDB reproduces every sample) ----
+    "q_audio_roundtrip" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val wave = transform(
+        sequence(lit(0), lit(1099)),
+        i => ((col("vec_id") * 31 + i * 17) % 32768 - 16384).cast("double") / 32767.0)
+        .cast("array<float>")
+      val decoded = graft.codec.WavCodec.decodeSamplesUdf(
+        graft.codec.WavCodec.encodeUdf(16000)(wave))
+      emb.select(
+        col("vec_id"),
+        size(decoded).cast("long").as("n_samples"),
+        aggregate(decoded, lit(0L), (a, x) => a + x).as("sum_s"),
+        aggregate(decoded, lit(0L), (a, x) => a + x.cast("long") * x).as("sum_sq"),
+        graft.codec.WavCodec.sampleRateUdf(
+          graft.codec.WavCodec.encodeUdf(16000)(wave)).cast("long").as("sr"))
+    }),
+    // ---- S7 + W1: reference 2s-clip extraction (floor tail) + per-clip
+    //      integer-exact stats ----
+    "q_audio_clip_stats" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet").select(col("vec_id"))
+      val wave = transform(
+        sequence(lit(0), lit(1099)),
+        i => ((col("vec_id") * 31 + i * 17) % 32768 - 16384).cast("int"))
+      val withClips = graft.audio.AudioOps.clips(
+        emb.withColumn("samples", wave), "samples", 256)
+      val (n, sum, sumSq) = graft.audio.AudioOps.clipStats(col("clip"))
+      withClips.select(
+        col("vec_id"),
+        col("clip_idx"),
+        n.as("n"),
+        sum.as("sum_s"),
+        sumSq.as("sum_sq"))
+    }),
     // ---- deduplication suite (training-data pipeline ops) ----
     "q_dedup_exact" -> ((s, dir) =>
       graft.dedup.Dedup.exact(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
@@ -575,6 +626,31 @@ object SparkEntry {
         |  '[' || array_to_string([CAST(round(round(x, 4) * 10000) AS BIGINT) for x in luma], ',') || ']' AS luma,
         |  round(list_sum(luma) / 16, 4) AS mean_luma
         |FROM l""".stripMargin,
+    "q_audio_roundtrip" ->
+      """WITH w AS (
+        |  SELECT vec_id, [(vec_id*31 + i*17) % 32768 - 16384 for i in range(0, 1100)] AS s
+        |  FROM embeddings)
+        |SELECT vec_id, len(s)::BIGINT AS n_samples,
+        |  list_sum(s)::BIGINT AS sum_s,
+        |  list_sum([x*x for x in s])::BIGINT AS sum_sq,
+        |  16000::BIGINT AS sr
+        |FROM w""".stripMargin,
+    "q_audio_clip_stats" ->
+      """WITH w AS (
+        |  SELECT vec_id, [(vec_id*31 + i*17) % 32768 - 16384 for i in range(0, 1100)] AS s
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT vec_id, unnest(range(0, len(s) // 256)) AS clip_idx, s FROM w)
+        |SELECT vec_id, clip_idx::INT AS clip_idx, 256::BIGINT AS n,
+        |  list_sum(list_slice(s, clip_idx*256 + 1, clip_idx*256 + 256))::BIGINT AS sum_s,
+        |  list_sum([x*x for x in list_slice(s, clip_idx*256 + 1, clip_idx*256 + 256)])::BIGINT AS sum_sq
+        |FROM c""".stripMargin,
+    "q_depth_roundtrip" ->
+      """SELECT vec_id,
+        |  '[' || array_to_string(
+        |    [CAST(round(least(greatest(x::DOUBLE, 0.0), 0.25) / 0.25 * 65535) AS BIGINT)
+        |     for x in embedding], ',') || ']' AS samples
+        |FROM embeddings""".stripMargin,
     "q_depth_clamp" ->
       """SELECT vec_id,
         |  '[' || array_to_string(

@@ -1,0 +1,107 @@
+package graft.codec
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions._
+
+/** Depth-frame sink/source (K5) — the engine's form of the reference's
+  * depth-image writer (`modalities/generate_depth_frames.py:91`
+  * `plt.imsave(output_path, prediction)`), upgraded from a lossy matplotlib
+  * colormap dump to a LOSSLESS 16-bit grayscale PNG of the clamp-normalized
+  * depth (`omnivore_transforms.py:43-63` P11 semantics feed the quantizer).
+  *
+  * Pipeline per row (one UDF, no pixel array crosses an exchange):
+  * float depth → clamp to [0, maxV] → /maxV → quantize to uint16 →
+  * 16-bit PNG bytes. Decode inverts exactly: round-trip error is bounded by
+  * the quantization step 1/65535 and re-encoding a decoded frame is
+  * bit-identical (idempotent sink — safe to re-run a partition on resume).
+  *
+  * The sink itself is a binary-column parquet write partitioned by entity —
+  * at 10^12 rows the layout is the same one `ops.Resume` manifests: one
+  * directory per entity partition, append-only, O(partitions) metadata.
+  */
+object DepthCodec {
+
+  /** Encode a clamp-normalized depth map as 16-bit grayscale PNG bytes. */
+  def encodePng16(depth: Array[Float], w: Int, h: Int, maxV: Float): Array[Byte] = {
+    if (depth == null || depth.length != w * h) return null
+    val norm = ImageCodec.clampScale(depth, 0.0f, maxV)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_USHORT_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    while (i < norm.length) {
+      // quantize in double: float(norm) → double is exact and the 24-bit ×
+      // 16-bit product fits a double mantissa, so the rounded sample is
+      // bit-reproducible by any engine's double math (oracle-checkable)
+      raster.setSample(i % w, i / w, 0, math.round(norm(i).toDouble * 65535.0).toInt)
+      i += 1
+    }
+    val out = new ByteArrayOutputStream(w * h * 2 + 1024)
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Decode 16-bit grayscale PNG bytes back to normalized [0,1] floats. */
+  def decodePng16(bytes: Array[Byte]): Array[Float] = {
+    if (bytes == null) return null
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    if (img == null) return null
+    val w = img.getWidth
+    val h = img.getHeight
+    val raster = img.getRaster
+    val out = new Array[Float](w * h)
+    var i = 0
+    while (i < out.length) {
+      out(i) = raster.getSample(i % w, i / w, 0) / 65535.0f
+      i += 1
+    }
+    out
+  }
+
+  def encodeUdf(w: Int, h: Int, maxV: Float): UserDefinedFunction =
+    udf((v: Seq[Float]) => if (v == null) null else encodePng16(v.toArray, w, h, maxV))
+
+  val decodeUdf: UserDefinedFunction =
+    udf((b: Array[Byte]) => Option(decodePng16(b)).map(_.toSeq))
+
+  /** Decode to the raw uint16 samples (integer-exact oracle surface). */
+  def decodeSamples(bytes: Array[Byte]): Array[Int] = {
+    if (bytes == null) return null
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    if (img == null) return null
+    val w = img.getWidth
+    val raster = img.getRaster
+    Array.tabulate(w * img.getHeight)(i => raster.getSample(i % w, i / w, 0))
+  }
+
+  val decodeSamplesUdf: UserDefinedFunction =
+    udf((b: Array[Byte]) => Option(decodeSamples(b)).map(_.toSeq))
+
+  /** K5 sink: (entity, ts, depth array<float>) → entity-partitioned parquet
+    * of (entity, ts, bytes). Returns the written row count. */
+  def writeDepth(
+      df: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      depthCol: String,
+      w: Int,
+      h: Int,
+      maxV: Float,
+      outDir: String): Long = {
+    df.select(
+      col(entityCol),
+      col(tsCol),
+      encodeUdf(w, h, maxV)(col(depthCol)).as("bytes"))
+      .withColumn("__part", col(entityCol))
+      .write
+      .mode("append")
+      .partitionBy("__part")
+      .parquet(outDir)
+    df.sparkSession.read.parquet(outDir).count()
+  }
+}

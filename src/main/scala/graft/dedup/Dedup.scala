@@ -18,9 +18,44 @@ object Dedup {
   /** whitespace tokens of lowercased trimmed text. */
   def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
 
-  /** distinct n-token shingles (empty array for texts under n tokens —
-    * Spark's `sequence(1, 0)` would otherwise DESCEND). */
-  def shingles(text: Column, n: Int): Column = {
+  /** Distinct n-token shingles, first-occurrence order.
+    *
+    * Deliberately a UDF, not column algebra: the column form
+    * (`transform(sequence(...), i => concat_ws(element_at(split(...), i+k)
+    * ...)))`) re-evaluates the regex `split` THREE TIMES PER SHINGLE
+    * POSITION — Catalyst does no common-subexpression elimination across
+    * lambda boundaries — making shingling O(tokens² · |text|) per document
+    * (~40 s just to materialize the sf0.1 inverted index; 8 ms/doc). The
+    * UDF is one linear pass per row and exactly mirrors the Spark SQL
+    * semantics it replaces (trim = ASCII space only, locale-free lower,
+    * split("\\s+", -1), concat_ws(" "), array_distinct keeps first
+    * occurrence), so every DuckDB oracle is unchanged. */
+  def shingles(text: Column, n: Int): Column = shinglesUdf(text, lit(n))
+
+  private[dedup] def shingleStrings(text: String, n: Int): Seq[String] = {
+    if (text == null) return null
+    var b = 0
+    var e = text.length
+    while (b < e && text.charAt(b) == ' ') b += 1
+    while (e > b && text.charAt(e - 1) == ' ') e -= 1
+    val tk = text.substring(b, e).toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
+    if (tk.length < n) Seq.empty
+    else {
+      val out = new scala.collection.mutable.LinkedHashSet[String]
+      var i = 0
+      while (i + n <= tk.length) {
+        out += tk.slice(i, i + n).mkString(" ")
+        i += 1
+      }
+      out.toVector
+    }
+  }
+
+  private val shinglesUdf = udf((text: String, n: Int) => shingleStrings(text, n))
+
+  /** The pure-column shingle formulation (kept for the A/B parity spec —
+    * see [[shingles]] for why it is not the production path). */
+  private[dedup] def shinglesCol(text: Column, n: Int): Column = {
     val t = tokens(text)
     when(size(t) < n, array().cast("array<string>")).otherwise(
       array_distinct(

@@ -46,6 +46,26 @@ class DedupSpec extends SparkSpec {
     assert(h.values.forall(v => v >= 0 && v < (1L << 48)))
   }
 
+  test("shingles UDF is semantics-identical to the column-algebra form") {
+    val edge = Seq(
+      (100L, null.asInstanceOf[String]),
+      (101L, ""),
+      (102L, "  a b  "),
+      (103L, "a\tb\nc d"), // tabs/newlines: NOT trimmed (Spark trim = spaces only)
+      (104L, "x y"), // under shingle width
+      (105L, "Mixed CASE tokens repeated mixed case tokens repeated"))
+      .toDF("doc_id", "text")
+    val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text").unionByName(edge)
+    val both = all.select(
+      $"doc_id",
+      Dedup.shingles($"text", 3).as("u"),
+      Dedup.shinglesCol($"text", 3).as("c"))
+    val diff = both.where(
+      ($"u".isNull =!= $"c".isNull) || ($"u".isNotNull && !($"u" <=> $"c"))).count()
+    assert(diff == 0L, s"$diff docs differ between UDF and column shingles")
+  }
+
   test("ANN LSH top-k achieves recall vs brute force on real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.where($"vec_id" % 50 === 0)
