@@ -182,10 +182,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val benchEntities = sys.env.getOrElse("SPARK_GRAFT_BENCH_ENTITIES", "64").toInt
+    // 128×1024 = the calibrated fixture (BASELINE.md matrix): the 64× one
+    // makes the 8/32-thread timed pass so short that fixed per-job overhead
+    // biases measured efficiency DOWN.
+    val benchEntities = sys.env.getOrElse("SPARK_GRAFT_BENCH_ENTITIES", "128").toInt
     val benchFrames = sys.env.getOrElse("SPARK_GRAFT_BENCH_FRAMES", "1024").toInt
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "780").toLong
-    val scalingReserveSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALING_RESERVE_SEC", "300").toLong
+    val scalingReserveSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALING_RESERVE_SEC", "480").toLong
     val start = System.nanoTime()
     def elapsedSec: Long = (System.nanoTime() - start) / 1000000000L
     sfDirSeen = sfDir
@@ -225,26 +228,29 @@ object Bench {
         val inputPath = materialize(benchEntities, benchFrames)
         val levels = Seq(2, 8, 32)
         val sweeps = sys.env.getOrElse("SPARK_GRAFT_BENCH_SWEEPS", "2").toInt
-        // N and 4N are paired WITHIN a sweep (adjacent in time, so a host
-        // noise window hits both sides of the ratio); per pair the best
-        // sweep is reported — single-sweep ratios on this host are hostage
-        // to multi-minute noise windows (BASELINE.md calibration).
-        val runs = (1 to sweeps).flatMap { sw =>
-          levels.flatMap { c =>
-            if (elapsedSec > budgetSec - 40) None
-            else scala.util.Try(spawnLevel(c, inputPath)).toOption.map(r => (sw, c, r))
+        // Host noise on this sandbox is strictly DOWNWARD (a contended
+        // window can only slow a run), so the best-of-k rps per level is
+        // the estimator of the machine's uncontended capability at that
+        // parallelism (same rationale as scaleOnly's best-of-k, calibrated
+        // in BASELINE.md). Efficiency pairs are computed from the per-level
+        // bests across all sweeps.
+        val runs = scala.collection.mutable.ArrayBuffer.empty[(Int, (Long, Double))]
+        def refresh(): Unit = {
+          val byLevel = runs.groupBy(_._1).map { case (c, rs) => c -> rs.map(_._2).maxBy(_._2) }
+          if (byLevel.contains(2) && byLevel.contains(8)) {
+            val effs = Map("2_8" -> (byLevel(8)._2 / byLevel(2)._2) / 4.0) ++
+              byLevel.get(32).map(r32 => "8_32" -> (r32._2 / byLevel(8)._2) / 4.0).toMap
+            scalingState = Some((byLevel, effs))
           }
         }
-        val bySweep = runs.groupBy(_._1).values.map(_.map(r => r._2 -> r._3).toMap)
-        def pairEffs(lo: Int, hi: Int): Iterable[Double] =
-          bySweep.flatMap(m => for { a <- m.get(lo); b <- m.get(hi) } yield (b._2 / a._2) / 4.0)
-        val eff28 = pairEffs(2, 8)
-        if (eff28.nonEmpty) {
-          val byLevel = runs.groupBy(_._2).map { case (c, rs) => c -> rs.map(_._3).maxBy(_._2) }
-          val eff832 = pairEffs(8, 32)
-          val effs = Map("2_8" -> eff28.max) ++
-            (if (eff832.nonEmpty) Map("8_32" -> eff832.max) else Map.empty[String, Double])
-          scalingState = Some((byLevel, effs))
+        (1 to sweeps).foreach { _ =>
+          levels.foreach { c =>
+            if (elapsedSec < budgetSec - 60)
+              scala.util.Try(spawnLevel(c, inputPath)).toOption.foreach { r =>
+                runs += (c -> r)
+                refresh() // partial state survives a driver-timeout SIGTERM
+              }
+          }
         }
       } catch {
         case e: Throwable => System.err.println(s"[bench] scaling failed: ${e.getMessage}")
@@ -277,9 +283,9 @@ object Bench {
     val outFile = java.nio.file.Files.createTempFile("graft_scale_out", ".txt")
     pb.redirectOutput(outFile.toFile)
     val proc = pb.start()
-    if (!proc.waitFor(240, java.util.concurrent.TimeUnit.SECONDS)) {
+    if (!proc.waitFor(300, java.util.concurrent.TimeUnit.SECONDS)) {
       proc.destroyForcibly()
-      sys.error(s"scaling child (cpus=$cpus) exceeded 240s, killed")
+      sys.error(s"scaling child (cpus=$cpus) exceeded 300s, killed")
     }
     val out = new String(java.nio.file.Files.readAllBytes(outFile), "UTF-8")
     java.nio.file.Files.deleteIfExists(outFile)

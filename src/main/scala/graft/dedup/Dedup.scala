@@ -261,7 +261,7 @@ object Dedup {
     val b = emb.select(col(idCol).as("id_b"), col(vecCol).cast("array<double>").as("v_b"))
     a.crossJoin(b)
       .where(col("id_a") < col("id_b"))
-      .withColumn("cos", round(VecOps.cosineUdf(col("v_a"), col("v_b")), 4))
+      .withColumn("cos", round(VecOps.cosineFast(col("v_a"), col("v_b")), 4))
       .where(col("cos") >= tau) // threshold on the ROUNDED value: engine-portable
       .select(col("id_a"), col("id_b"), col("cos"))
   }

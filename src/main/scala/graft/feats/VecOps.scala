@@ -95,6 +95,11 @@ object VecOps {
     }
   }
 
+  /** Cosine as a native codegen'd Catalyst expression — the production hot
+    * path (same left-to-right accumulation as [[cosine]]/[[cosineUdf]], but
+    * no per-pair Seq boxing and no UDF boundary; see graft.plans.CosineSim). */
+  def cosineFast(a: Column, b: Column): Column = graft.plans.CosineSim(a, b)
+
   /** Scale every element (e.g. /255 normalize step). */
   def vecScale(a: Column, s: Column): Column = transform(a, x => x * s)
 

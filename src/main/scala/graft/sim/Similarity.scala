@@ -76,7 +76,7 @@ object Similarity {
       .crossJoin(broadcast(
         queries.select(col(qIdCol).as("query_id"), col(qVecCol).cast("array<double>").as("qv"))))
       .where(col("nn_id") =!= col("query_id"))
-      .withColumn("cos", round(VecOps.cosineUdf(col("v"), col("qv")), 6))
+      .withColumn("cos", round(VecOps.cosineFast(col("v"), col("qv")), 6))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("nn_id"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -109,7 +109,7 @@ object Similarity {
     q.join(c, Seq("tbl", "sig"))
       .where(col("nn_id") =!= col("query_id"))
       .dropDuplicates("query_id", "nn_id")
-      .withColumn("cos", round(VecOps.cosineUdf(col("v"), col("qv")), 6))
+      .withColumn("cos", round(VecOps.cosineFast(col("v"), col("qv")), 6))
       .withColumn(
         "rank",
         row_number().over(Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("nn_id"))))

@@ -50,6 +50,40 @@ class VecOpsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - 4.0 / (3.0 * math.sqrt(5.0))) < 1e-12)
   }
 
+  test("cosine three ways is bit-identical: column algebra == UDF == native expression") {
+    // deterministic pseudo-random vectors incl. a zero vector and a ragged pair
+    val rows = (0 until 200).map { i =>
+      def h(k: Int) = ((i * 2654435761L + k * 40503L) % 997L).toDouble / 499.0 - 1.0
+      (Seq.tabulate(24)(h), Seq.tabulate(if (i % 7 == 0) 20 else 24)(k => h(k + 100)))
+    } :+ ((Seq.fill(24)(0.0), Seq.fill(24)(1.0)))
+    val out = rows
+      .toDF("a", "b")
+      .select(
+        VecOps.cosine($"a", $"b").as("alg"),
+        VecOps.cosineUdf($"a", $"b").as("udf"),
+        VecOps.cosineFast($"a", $"b").as("fast"))
+      .collect()
+    // ragged pairs included: UDF and native share the common-prefix contract
+    out.foreach { r =>
+      val vals = (0 until 3).map(i => if (r.isNullAt(i)) None else Some(r.getDouble(i)))
+      assert(vals(1) == vals(2), s"udf vs native differ: $vals")
+    }
+    // equal-length subset: all three identical (zip_with/aggregate is only
+    // defined for equal lengths)
+    val eq = rows.filter { case (a, b) => a.length == b.length }
+    val out2 = eq
+      .toDF("a", "b")
+      .select(
+        VecOps.cosine($"a", $"b").as("alg"),
+        VecOps.cosineUdf($"a", $"b").as("udf"),
+        VecOps.cosineFast($"a", $"b").as("fast"))
+      .collect()
+    out2.foreach { r =>
+      val vals = (0 until 3).map(i => if (r.isNullAt(i)) None else Some(r.getDouble(i)))
+      assert(vals(0) == vals(1) && vals(1) == vals(2), s"three-way mismatch: $vals")
+    }
+  }
+
   test("psnr: identical vectors -> +inf, known mse -> exact dB") {
     val df = Seq((Seq(0.5, 0.5), Seq(0.5, 0.5), Seq(0.5, 0.6))).toDF("a", "b", "c")
     val r = df.select(VecOps.psnr($"a", $"b"), VecOps.psnr($"a", $"c")).head()
