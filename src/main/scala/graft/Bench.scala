@@ -247,6 +247,7 @@ object Bench {
           levels.foreach { c =>
             if (elapsedSec < budgetSec - 60)
               scala.util.Try(spawnLevel(c, inputPath)).toOption.foreach { r =>
+                System.err.println(f"[scale] cpus=$c rows=${r._1} rps=${r._2}%.1f")
                 runs += (c -> r)
                 refresh() // partial state survives a driver-timeout SIGTERM
               }
@@ -275,9 +276,11 @@ object Bench {
     // discard stderr (Spark logs) — draining it lazily would deadlock the
     // child once the 64K pipe buffer fills
     pb.redirectError(ProcessBuilder.Redirect.DISCARD)
-    // driver bench: warm-up + single timed pass per level (fits the budget)
+    // warm-up + best-of-2 timed passes per level — the round-1-calibrated
+    // recipe; a single timed pass right after warm-up is still JIT-cold at
+    // 8/32 threads (measured ~5.3k rps vs ~13k settled at 8 threads)
     pb.environment().put("SPARK_GRAFT_TIMED_REPS",
-      sys.env.getOrElse("SPARK_GRAFT_TIMED_REPS", "1"))
+      sys.env.getOrElse("SPARK_GRAFT_TIMED_REPS", "2"))
     // stdout → file so the per-level timeout below can actually fire (a
     // blocking readAllBytes would wait on a hung child forever)
     val outFile = java.nio.file.Files.createTempFile("graft_scale_out", ".txt")

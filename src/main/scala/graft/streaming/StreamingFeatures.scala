@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming wrappers for the window-family operators
   * (SURVEY.md §2.8 — the reference is pure batch; these are the engine's
@@ -29,6 +30,45 @@ object StreamingFeatures {
         unix_micros(col("window.start")).as("win_start_us"),
         col("n"),
         col("avg_v"))
+
+  final case class LocfEvent(user_id: Long, ts_us: Long, v: Option[Double])
+  final case class LocfOut(user_id: Long, ts_us: Long, v_filled: Option[Double])
+  final case class LocfCarry(lastTs: Long, lastV: Double)
+
+  /** Stateful streaming LOCF — the incremental twin of
+    * `graft.ops.Backfill.locf`, via `flatMapGroupsWithState` (§2.8 custom
+    * state): per entity, the last observed value is carried in GroupState
+    * across micro-batches, so a value observed in batch 1 backfills nulls
+    * arriving in batch 7 with O(1) state per entity (never a rows buffer).
+    *
+    * Ordering contract: rows are sorted by ts WITHIN a batch; across
+    * batches the state is last-written-wins, i.e. exact when the source
+    * delivers each entity's rows in event-time order batch-over-batch (the
+    * common log-structured case). Out-of-order arrival across batches
+    * would need watermark-delayed emission — a deliberate non-goal here.
+    * Also callable on a batch Dataset (one group call per key) where it
+    * equals the window-based LOCF exactly. */
+  def statefulLocf(events: Dataset[LocfEvent]): Dataset[LocfOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: Long, rows: Iterator[LocfEvent], state: GroupState[LocfCarry]) => {
+          val sorted = rows.toVector.sortBy(_.ts_us)
+          var carry = state.getOption
+          val out = sorted.map { e =>
+            e.v match {
+              case Some(value) =>
+                carry = Some(LocfCarry(e.ts_us, value))
+                LocfOut(key, e.ts_us, e.v)
+              case None =>
+                LocfOut(key, e.ts_us, carry.map(_.lastV))
+            }
+          }
+          carry.foreach(state.update)
+          out.iterator
+        })
+  }
 
   /** Gap-based session aggregate — streaming form of
     * `graft.ops.Sessionize` (new session when idle > gap). */

@@ -46,6 +46,53 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("stateful LOCF carries state across micro-batches and equals batch LOCF") {
+    import spark.implicits._
+    import StreamingFeatures.{LocfEvent, LocfOut}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[LocfEvent]
+    val q = StreamingFeatures
+      .statefulLocf(mem.toDS())
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("locf_out")
+      .start()
+    // batch 1: user 1 sees a value then a null; user 2 only nulls
+    mem.addData(LocfEvent(1L, 10L, Some(5.0)), LocfEvent(1L, 20L, None), LocfEvent(2L, 10L, None))
+    q.processAllAvailable()
+    // batch 2: user 1's null must backfill from batch 1's value (cross-batch
+    // state); user 2 finally observes a value
+    mem.addData(LocfEvent(1L, 30L, None), LocfEvent(2L, 20L, Some(7.0)), LocfEvent(2L, 30L, None))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("locf_out").as[LocfOut].collect()
+      .map(o => (o.user_id, o.ts_us) -> o.v_filled).toMap
+    assert(got((1L, 10L)).contains(5.0))
+    assert(got((1L, 20L)).contains(5.0))
+    assert(got((1L, 30L)).contains(5.0), "cross-batch carry failed")
+    assert(got((2L, 10L)).isEmpty, "no earlier observation -> stays null")
+    assert(got((2L, 20L)).contains(7.0))
+    assert(got((2L, 30L)).contains(7.0))
+
+    // batch-mode equivalence vs the window-based LOCF on real events
+    val e = spark.read.parquet(eventsPath)
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+        when(col("event_type") === "purchase", col("value")).as("v"))
+    val fromState = StreamingFeatures.statefulLocf(e.as[LocfEvent]).collect()
+      .groupBy(o => (o.user_id, o.ts_us))
+      .map { case (k, vs) => k -> vs.map(_.v_filled).toSet }
+    val fromWindow = graft.ops.Backfill
+      .locf(e, "user_id", "ts_us", Seq("v"))
+      .select(col("user_id"), col("ts_us"), col("v_filled"))
+      .collect()
+      .groupBy(r => (r.getLong(0), r.getLong(1)))
+      .map { case (k, rs) =>
+        k -> rs.map(r => if (r.isNullAt(2)) None else Some(r.getDouble(2))).toSet
+      }
+    assert(fromState == fromWindow, "stateful LOCF != window LOCF in batch mode")
+  }
+
   test("streaming session_window produces gap-bounded sessions") {
     val schema = spark.read.parquet(eventsPath).schema
     val stream = spark.readStream.schema(schema).parquet(eventsPath)
