@@ -101,6 +101,20 @@ object SparkEntry {
           col(AsOfJoin.SrcTs).as("click_ts_us"),
           round(col("click_value"), 4).as("click_value"))
     }),
+    // ---- north-rule leakage audit over the as-of join OUTPUT: one scan,
+    //      pure column predicate — n_leaked must be 0, max_lead null ----
+    "q_leakage_audit" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val probes = e
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"), col("event_id"))
+      val build = e
+        .filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us"), col("value").as("click_value"))
+      val joined = AsOfJoin
+        .asOf(probes, build, "user_id", "ts_us", Seq("click_value"), AsOfBucketUs)
+      LeakageAudit.auditStats(joined, "ts_us", AsOfJoin.SrcTs)
+    }),
     // ---- W8: LOCF backfill ----
     "q_locf_backfill" -> ((s, dir) => {
       val e = ev(s, dir).withColumn(
@@ -509,6 +523,17 @@ object SparkEntry {
     Map(
       "q_asof_join" -> asofSql,
       "q_asof_merge" -> asofSql,
+      "q_leakage_audit" ->
+        """WITH j AS (
+          |  SELECT p.ts_us AS ts_us, b.src_ts AS src_ts FROM
+          |    (SELECT user_id, epoch_us(ts) AS ts_us, ts FROM events WHERE event_type = 'purchase') p
+          |  ASOF LEFT JOIN
+          |    (SELECT user_id, ts, epoch_us(ts) AS src_ts FROM events WHERE event_type = 'click') b
+          |  ON p.user_id = b.user_id AND p.ts >= b.ts)
+          |SELECT count(*) AS n_rows, count(src_ts) AS n_matched,
+          |  CAST(sum(CASE WHEN src_ts IS NOT NULL AND src_ts > ts_us THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked,
+          |  max(CASE WHEN src_ts IS NOT NULL AND src_ts > ts_us THEN src_ts - ts_us END) AS max_lead
+          |FROM j""".stripMargin,
       "q_locf_backfill" -> locfSql,
       "q_locf_bucketed" -> locfSql,
       "q_lag_lead" ->

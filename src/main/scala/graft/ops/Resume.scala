@@ -130,6 +130,23 @@ object Resume {
       StandardOpenOption.TRUNCATE_EXISTING)
   }
 
+  /** Iceberg-style time travel: the table AS OF `snapshotId` — exactly the
+    * partitions whose manifest row was committed at or before it. Each
+    * partition is completed by exactly one snapshot (processPending skips
+    * manifested partitions), so snapshot membership is a partition-level
+    * property and the read partition-prunes on the `__part` directory
+    * column: O(selected partitions) I/O, O(partitions) driver work. */
+  def readAsOf(spark: SparkSession, outDir: String, snapshotId: Long): DataFrame = {
+    val parts = readManifest(spark, outDir)
+      .where(col("snapshotId") <= snapshotId)
+      .select("partition")
+      .distinct()
+      .collect()
+      .map(_.get(0).toString)
+    spark.read.parquet(s"$outDir/data")
+      .where(col("__part").cast("string").isin(parts.toSeq: _*))
+  }
+
   /** Audit: recompute row counts + digests from the written data and compare
     * with the manifest — the engine's form of the reference's
     * output-count==input-count self-check (A6/J5). Returns mismatching

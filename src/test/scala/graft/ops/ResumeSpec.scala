@@ -68,6 +68,20 @@ class ResumeSpec extends SparkSpec {
     assert(Resume.audit(spark, refDir, "entity", "ts", "vec").count() == 0L)
   }
 
+  test("readAsOf time-travels to a snapshot's partition set") {
+    val dir = freshDir("timetravel")
+    Resume.processPending(spark, features, "entity", "ts", "vec", dir, 1L, maxPartitions = 2)
+    Resume.processPending(spark, features, "entity", "ts", "vec", dir, 2L)
+    val manifest = Resume.readManifest(spark, dir).collect()
+    val snap1Rows = manifest.filter(_.getAs[Long]("snapshotId") == 1L).map(_.getAs[Long]("rowCount")).sum
+    val allRows = manifest.map(_.getAs[Long]("rowCount")).sum
+    assert(Resume.readAsOf(spark, dir, 1L).count() == snap1Rows)
+    assert(Resume.readAsOf(spark, dir, 2L).count() == allRows)
+    // as-of-1 sees exactly the 2 partitions committed by snapshot 1
+    val p1 = Resume.readAsOf(spark, dir, 1L).select($"entity").distinct().count()
+    assert(p1 == 2L)
+  }
+
   test("audit flags a tampered partition") {
     val dir = freshDir("tamper")
     Resume.processPending(spark, features, "entity", "ts", "vec", dir, 1L)
