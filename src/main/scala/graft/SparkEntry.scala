@@ -141,6 +141,30 @@ object SparkEntry {
           col("ts_us"),
           round(col("sparse_value_filled"), 4).as("locf_value"))
     }),
+    // same LOCF semantics via the STATEFUL streaming operator
+    // (flatMapGroupsWithState) run in batch mode — proves batch/stream parity
+    // against the same DuckDB oracle. Note: ts collisions within a user
+    // would make fill order nondeterministic; events.parquet has unique
+    // (user, ts) pairs (asserted by the oracle hash match itself).
+    "q_locf_stateful" -> ((s, dir) => {
+      import s.implicits._
+      val e = ev(s, dir).select(
+        col("user_id"),
+        col("ts_us"),
+        when(col("event_type") === "purchase", col("value")).as("v"))
+      val filled = graft.streaming.StreamingFeatures
+        .statefulLocf(e.as[graft.streaming.StreamingFeatures.LocfEvent])
+        .toDF()
+      e.join(filled, Seq("user_id", "ts_us"))
+        .join(
+          ev(s, dir).select(col("user_id"), col("ts_us"), col("event_id")),
+          Seq("user_id", "ts_us"))
+        .select(
+          col("user_id"),
+          col("event_id"),
+          col("ts_us"),
+          round(col("v_filled"), 4).as("locf_value"))
+    }),
     // ---- W6: lag/lead + delta ----
     "q_lag_lead" -> ((s, dir) => {
       LagLead
@@ -536,6 +560,7 @@ object SparkEntry {
           |FROM j""".stripMargin,
       "q_locf_backfill" -> locfSql,
       "q_locf_bucketed" -> locfSql,
+      "q_locf_stateful" -> locfSql,
       "q_lag_lead" ->
         """SELECT user_id, event_id, epoch_us(ts) AS ts_us, round(value, 4) AS v,
           |  round(lag(value) OVER w, 4) AS lag_v,
