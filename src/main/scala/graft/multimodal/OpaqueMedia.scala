@@ -6,10 +6,14 @@ import org.apache.spark.sql.functions._
 /** Multimodal (audio/video/depth) columns as opaque binary + typed metadata —
   * the engine's carrier for the reference's non-RGB modalities
   * (`audio_features/imagebind_audio_feature_extractor.py`,
-  * `modalities/generate_depth_frames.py`). Images decode for real
-  * (graft.codec.ImageCodec); audio/video decoding needs codec libraries that
-  * do not exist in this JVM, so the decode kernel below is a clearly-marked
-  * DETERMINISTIC STUB — everything around it (schema, micro-batched
+  * `modalities/generate_depth_frames.py`).
+  *
+  * Decode dispatch is on `meta.codec`: formats this JVM can really decode
+  * route to real kernels — `pcm16_wav` → graft.codec.WavCodec (per-chunk
+  * RMS energies), `png16_depth` → graft.codec.DepthCodec (block means);
+  * images decode in graft.codec.ImageCodec. Only COMPRESSED a/v codecs
+  * (h264/aac/…, absent from this JVM) fall through to the clearly-marked
+  * deterministic stub — everything around it (schema, micro-batched
   * mapPartitions execution, partitioning, feature shape) is the real,
   * tested plumbing a codec drop-in would inherit.
   */
@@ -47,6 +51,42 @@ object OpaqueMedia {
     out.map(_ / n)
   }
 
+  /** Real decode+embed dispatch (stub ONLY for codecs this JVM lacks). */
+  def decodeEmbed(meta: MediaMeta, bytes: Array[Byte]): Array[Float] = meta.codec match {
+    case "pcm16_wav" =>
+      val dec = graft.codec.WavCodec.decodePcm16(bytes)
+      if (dec == null) new Array[Float](FeatureDim)
+      else {
+        // FeatureDim chunk RMS energies of the normalized wave
+        val s = dec._2
+        val out = new Array[Float](FeatureDim)
+        if (s.nonEmpty) {
+          val chunk = math.max(1, s.length / FeatureDim)
+          var i = 0
+          while (i < s.length) {
+            val x = s(i) / 32767.0
+            out(math.min(i / chunk, FeatureDim - 1)) += (x * x).toFloat
+            i += 1
+          }
+          var k = 0
+          while (k < FeatureDim) { out(k) = math.sqrt(out(k) / chunk).toFloat; k += 1 }
+        }
+        out
+      }
+    case "png16_depth" =>
+      val d = graft.codec.DepthCodec.decodePng16(bytes)
+      if (d == null) new Array[Float](FeatureDim)
+      else {
+        // FeatureDim block means of the normalized depth
+        val out = new Array[Float](FeatureDim)
+        val chunk = math.max(1, d.length / FeatureDim)
+        var i = 0
+        while (i < d.length) { out(math.min(i / chunk, FeatureDim - 1)) += d(i); i += 1 }
+        out.map(v => v / chunk)
+      }
+    case _ => stubDecodeEmbed(bytes)
+  }
+
   /** Micro-batched feature extraction: `mapPartitions` + `grouped(batch)` is
     * the Scala analog of the reference's DataLoader batching
     * (`multimodal_segment_feature_extractor.py:74,94`, batch sizes 30..2096)
@@ -57,8 +97,8 @@ object OpaqueMedia {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        // one "model call" per batch (stubbed per-row here)
-        batch.map(r => MediaFeature(r.meta.media_id, r.meta.kind, stubDecodeEmbed(r.bytes)))
+        // one "model call" per batch; decode dispatches on meta.codec
+        batch.map(r => MediaFeature(r.meta.media_id, r.meta.kind, decodeEmbed(r.meta, r.bytes)))
       }
     }
   }

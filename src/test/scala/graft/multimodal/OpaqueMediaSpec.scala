@@ -24,6 +24,33 @@ class OpaqueMediaSpec extends SparkSpec {
     assert(f1 == f2, "features must not depend on batching/partitioning")
   }
 
+  test("decode dispatch: real WAV + depth kernels, stub only for unknown codecs") {
+    // a constant-amplitude wave has equal RMS in every chunk
+    val samples = Array.fill(640)(0.5f)
+    val wavBytes = graft.codec.WavCodec.encodePcm16(samples, 16000)
+    val wavVec = OpaqueMedia.decodeEmbed(
+      MediaMeta("a", "audio", "pcm16_wav", 40L, 16000, 0, 0), wavBytes)
+    assert(wavVec.length == OpaqueMedia.FeatureDim)
+    val q = math.round(0.5 * 32767.0) / 32767.0 // quantized amplitude
+    wavVec.foreach(v => assert(math.abs(v - q) < 1e-4, s"chunk RMS $v != $q"))
+
+    // a constant depth map decodes to equal block means
+    val depth = Array.fill(64)(1.0f)
+    val pngBytes = graft.codec.DepthCodec.encodePng16(depth, 8, 8, 4.0f)
+    val depthVec = OpaqueMedia.decodeEmbed(
+      MediaMeta("d", "depth", "png16_depth", 0L, 0, 8, 8), pngBytes)
+    val expect = math.round(0.25 * 65535.0) / 65535.0
+    depthVec.foreach(v => assert(math.abs(v - expect) < 1e-4))
+
+    // unknown codec falls back to the stub; malformed real-codec bytes -> zeros
+    assert(
+      OpaqueMedia.decodeEmbed(MediaMeta("x", "video", "h264", 0L, 0, 0, 0), blob(4, 64)).toSeq ==
+        OpaqueMedia.stubDecodeEmbed(blob(4, 64)).toSeq)
+    assert(
+      OpaqueMedia.decodeEmbed(MediaMeta("b", "audio", "pcm16_wav", 0L, 0, 0, 0), blob(5, 10)).toSeq ==
+        Seq.fill(OpaqueMedia.FeatureDim)(0.0f))
+  }
+
   test("frameSamplePlan emits k evenly spaced frame offsets per video") {
     val df = spark.createDataset(rows).toDF()
     val plan = OpaqueMedia.frameSamplePlan(df, k = 4)
