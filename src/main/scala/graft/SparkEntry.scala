@@ -401,6 +401,15 @@ object SparkEntry {
         sum.as("sum_s"),
         sumSq.as("sum_sq"))
     }),
+    // ---- S7: audio resample (linear kernel, 64→48 "Hz" over the stored
+    //      embedding array — fixed-order double math, oracle bit-exact) ----
+    "q_audio_resample" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("w"))
+      emb.select(
+        col("vec_id"),
+        vecFixed(graft.audio.AudioOps.resampleLinear(col("w"), 64, 48), 4).as("resampled"))
+    }),
     // ---- deduplication suite (training-data pipeline ops) ----
     "q_dedup_exact" -> ((s, dir) =>
       graft.dedup.Dedup.exact(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
@@ -676,6 +685,16 @@ object SparkEntry {
         |  '[' || array_to_string([CAST(round(round(x, 4) * 10000) AS BIGINT) for x in luma], ',') || ']' AS luma,
         |  round(list_sum(luma) / 16, 4) AS mean_luma
         |FROM l""".stripMargin,
+    "q_audio_resample" ->
+      """WITH w AS (SELECT vec_id, embedding::DOUBLE[] AS s FROM embeddings)
+        |SELECT vec_id,
+        |  '[' || array_to_string(
+        |    [CAST(round(round(
+        |       s[CAST(floor(j*64.0/48.0) AS INT) + 1] * (1.0 - (j*64.0/48.0 - CAST(floor(j*64.0/48.0) AS INT))) +
+        |       s[least(CAST(floor(j*64.0/48.0) AS INT) + 1, len(s) - 1) + 1] * (j*64.0/48.0 - CAST(floor(j*64.0/48.0) AS INT)),
+        |     4) * 10000) AS BIGINT)
+        |     for j in range(0, len(s) * 48 // 64)], ',') || ']' AS resampled
+        |FROM w""".stripMargin,
     "q_audio_roundtrip" ->
       """WITH w AS (
         |  SELECT vec_id, [(vec_id*31 + i*17) % 32768 - 16384 for i in range(0, 1100)] AS s

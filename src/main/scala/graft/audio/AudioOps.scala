@@ -46,4 +46,32 @@ object AudioOps {
   /** RMS in float domain (engine-facing convenience). */
   def rms(clip: Column): Column =
     sqrt(aggregate(clip, lit(0.0), (a, x) => a + x * x) / size(clip))
+
+  /** Linear-interpolation resample origSr → targetSr (reference S7:
+    * `torchaudio.functional.resample(orig_freq, 16000)`, here the
+    * deterministic linear kernel). Output length = floor(n·target/orig);
+    * sample j reads position j·orig/target with the boundary clamped.
+    * Pure double column algebra with a FIXED operation order, so any
+    * engine's IEEE double math reproduces it bit-for-bit (oracle surface).
+    * `samples` must be a stored column reference (array<double>), not a
+    * derived expression — Catalyst would re-expand a derived tree into
+    * every per-element access. */
+  def resampleLinear(samples: Column, origSr: Int, targetSr: Int): Column = {
+    require(origSr > 0 && targetSr > 0, "sample rates must be positive")
+    val n = size(samples)
+    val outN = floor((n.cast("long") * targetSr).cast("double") / origSr).cast("int")
+    val resampled = transform(
+      sequence(lit(0), outN - 1),
+      j => {
+        val pos = j.cast("double") * origSr / targetSr
+        val lo = floor(pos).cast("int")
+        val hi = least(lo + 1, n - 1)
+        val frac = pos - lo.cast("double")
+        element_at(samples, lo + 1) * (lit(1.0) - frac) +
+          element_at(samples, hi + 1) * frac
+      })
+    when(outN > 0, resampled)
+      .otherwise(array().cast(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType)))
+  }
 }

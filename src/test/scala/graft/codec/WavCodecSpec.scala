@@ -43,6 +43,20 @@ class WavCodecSpec extends SparkSpec {
     assert(out.forall(_._3.length == 3), "every clip full length (tail dropped)")
   }
 
+  test("resampleLinear: identity, integer decimation, midpoint upsample, empty") {
+    val s = List(0.0, 2.0, 4.0, 6.0, 8.0, 10.0)
+    val df = Seq((1L, s), (2L, List.empty[Double])).toDF("id", "w")
+    def out(orig: Int, target: Int): Map[Long, Seq[Double]] =
+      df.select($"id", AudioOps.resampleLinear($"w", orig, target).as("r"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(out(16, 16)(1L) == s, "same rate = identity")
+    assert(out(2, 1)(1L) == Seq(0.0, 4.0, 8.0), "2:1 decimation picks every 2nd")
+    val up = out(1, 2)(1L)
+    assert(up.length == 12)
+    assert(up.take(4) == Seq(0.0, 1.0, 2.0, 3.0), "odd samples are midpoints")
+    assert(out(16, 16)(2L).isEmpty && out(1, 2)(2L).isEmpty, "empty stays empty")
+  }
+
   test("clipStats are integer-exact") {
     val df = Seq((1L, Seq(1, -2, 3, 4))).toDF("id", "samples")
     val withClips = AudioOps.clips(df, "samples", 4)
