@@ -199,8 +199,11 @@ object Bench {
     sys.props("graft.bench.cosineCap") =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_COSINE_CAP", "1000")
 
-    // 1. per-query timings (driver contract), deadline-guarded
-    val queriesDeadline = math.max(budgetSec - scalingReserveSec, budgetSec / 2)
+    // 1. per-query timings (driver contract), deadline-guarded. No scaling
+    // phase ⇒ nothing to reserve for: queries get the whole budget.
+    val skipScaling = sys.env.contains("SPARK_GRAFT_BENCH_SKIP_SCALING")
+    val reserve = if (skipScaling) 30L else scalingReserveSec
+    val queriesDeadline = math.max(budgetSec - reserve, budgetSec / 2)
     val spark = session(cpus.toInt)
     // untimed session warm-up: without it the alphabetically-first query
     // absorbs ~4s of scheduler/codegen/parquet-footer warm-up that belongs
@@ -209,28 +212,33 @@ object Bench {
       spark.range(100000).selectExpr("sum(id)").head()
       spark.read.parquet(s"$sfDir/nation.parquet").count()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      if (elapsedSec > queriesDeadline) {
-        System.err.println(s"[bench] $name skipped: query deadline ${queriesDeadline}s passed")
-        name -> -1.0
-      } else {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); name -> (System.nanoTime() - t0) / 1e9 }
-        catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            name -> -1.0
+    // publish each timing as it lands: a driver-timeout SIGTERM during the
+    // query phase must still emit every COMPLETED timing (round-1 lesson —
+    // a single end-of-loop assignment would lose them all)
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val entry =
+        if (elapsedSec > queriesDeadline) {
+          System.err.println(s"[bench] $name skipped: query deadline ${queriesDeadline}s passed")
+          name -> -1.0
+        } else {
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count(); name -> (System.nanoTime() - t0) / 1e9 }
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+              name -> -1.0
+          }
         }
-      }
+      acc += entry
+      qTimings = acc.toSeq
     }
-    qTimings = results
     spark.stop()
 
     // 2. scaling evidence: identical input at 2/8/32 threads, pristine child
     // JVM per level. Skipped (still one parseable line) if the budget is
     // nearly gone or SPARK_GRAFT_BENCH_SKIP_SCALING is set.
-    if (!sys.env.contains("SPARK_GRAFT_BENCH_SKIP_SCALING") &&
-      elapsedSec < budgetSec - 120) {
+    if (!skipScaling && elapsedSec < budgetSec - 120) {
       try {
         val inputPath = materialize(benchEntities, benchFrames)
         val levels = Seq(2, 8, 32)
@@ -258,10 +266,13 @@ object Bench {
             scalingState.exists(_._2.get("2_8").exists(_ >= 0.85))
           if (!enough) levels.foreach { c =>
             if (elapsedSec < budgetSec - 60)
-              scala.util.Try(spawnLevel(c, inputPath)).toOption.foreach { r =>
-                System.err.println(f"[scale] cpus=$c rows=${r._1} rps=${r._2}%.1f")
-                runs += (c -> r)
-                refresh() // partial state survives a driver-timeout SIGTERM
+              scala.util.Try(spawnLevel(c, inputPath)) match {
+                case scala.util.Success(r) =>
+                  System.err.println(f"[scale] cpus=$c rows=${r._1} rps=${r._2}%.1f")
+                  runs += (c -> r)
+                  refresh() // partial state survives a driver-timeout SIGTERM
+                case scala.util.Failure(e) =>
+                  System.err.println(s"[scale] cpus=$c FAILED: ${e.getMessage}")
               }
           }
         }
@@ -299,16 +310,17 @@ object Bench {
     val outFile = java.nio.file.Files.createTempFile("graft_scale_out", ".txt")
     pb.redirectOutput(outFile.toFile)
     val proc = pb.start()
-    if (!proc.waitFor(300, java.util.concurrent.TimeUnit.SECONDS)) {
-      proc.destroyForcibly()
-      sys.error(s"scaling child (cpus=$cpus) exceeded 300s, killed")
-    }
-    val out = new String(java.nio.file.Files.readAllBytes(outFile), "UTF-8")
-    java.nio.file.Files.deleteIfExists(outFile)
-    val line = out.linesIterator.find(_.startsWith("SCALE")).getOrElse(
-      sys.error(s"no SCALE line from child (cpus=$cpus): $out"))
-    val rows = "rows=(\\d+)".r.findFirstMatchIn(line).get.group(1).toLong
-    val rpsV = "rps=([0-9.]+)".r.findFirstMatchIn(line).get.group(1).toDouble
-    (rows, rpsV)
+    try {
+      if (!proc.waitFor(300, java.util.concurrent.TimeUnit.SECONDS)) {
+        proc.destroyForcibly()
+        sys.error(s"scaling child (cpus=$cpus) exceeded 300s, killed")
+      }
+      val out = new String(java.nio.file.Files.readAllBytes(outFile), "UTF-8")
+      val line = out.linesIterator.find(_.startsWith("SCALE")).getOrElse(
+        sys.error(s"no SCALE line from child (cpus=$cpus): $out"))
+      val rows = "rows=(\\d+)".r.findFirstMatchIn(line).get.group(1).toLong
+      val rpsV = "rps=([0-9.]+)".r.findFirstMatchIn(line).get.group(1).toDouble
+      (rows, rpsV)
+    } finally java.nio.file.Files.deleteIfExists(outFile)
   }
 }

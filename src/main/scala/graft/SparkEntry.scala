@@ -155,7 +155,8 @@ object SparkEntry {
       val filled = graft.streaming.StreamingFeatures
         .statefulLocf(e.as[graft.streaming.StreamingFeatures.LocfEvent])
         .toDF()
-      e.join(filled, Seq("user_id", "ts_us"))
+      // one join, only to recover event_id (not part of the typed state op)
+      filled
         .join(
           ev(s, dir).select(col("user_id"), col("ts_us"), col("event_id")),
           Seq("user_id", "ts_us"))

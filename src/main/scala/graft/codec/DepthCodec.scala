@@ -1,7 +1,7 @@
 package graft.codec
 
 import java.awt.image.BufferedImage
-import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.io.ByteArrayOutputStream
 
 import javax.imageio.ImageIO
 
@@ -27,6 +27,14 @@ import org.apache.spark.sql.functions._
   */
 object DepthCodec {
 
+  // Per-thread cached PNG writer: like ImageCodec's reader cache, the
+  // ImageIO registry lookup is synchronized per call and writers are not
+  // thread-safe — at 32 encode threads a bare ImageIO.write serializes.
+  // (Touching ImageCodec also guarantees ImageIO.setUseCache(false) ran.)
+  private val writerCache =
+    ThreadLocal.withInitial[javax.imageio.ImageWriter](() =>
+      ImageIO.getImageWritersByFormatName("png").next())
+
   /** Encode a clamp-normalized depth map as 16-bit grayscale PNG bytes. */
   def encodePng16(depth: Array[Float], w: Int, h: Int, maxV: Float): Array[Byte] = {
     if (depth == null || depth.length != w * h) return null
@@ -42,14 +50,23 @@ object DepthCodec {
       i += 1
     }
     val out = new ByteArrayOutputStream(w * h * 2 + 1024)
-    ImageIO.write(img, "png", out)
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+    val writer = writerCache.get()
+    try {
+      writer.setOutput(ios)
+      writer.write(img)
+      ios.flush()
+    } finally writer.setOutput(null)
     out.toByteArray
   }
 
-  /** Decode 16-bit grayscale PNG bytes back to normalized [0,1] floats. */
+  /** Decode 16-bit grayscale PNG bytes back to normalized [0,1] floats.
+    * Goes through ImageCodec.decodeImage — the per-thread cached-reader
+    * path (a bare ImageIO.read re-introduces the synchronized registry
+    * lookup per row that ImageCodec exists to avoid). */
   def decodePng16(bytes: Array[Byte]): Array[Float] = {
     if (bytes == null) return null
-    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    val img = ImageCodec.decodeImage(bytes)
     if (img == null) return null
     val w = img.getWidth
     val h = img.getHeight
@@ -72,7 +89,7 @@ object DepthCodec {
   /** Decode to the raw uint16 samples (integer-exact oracle surface). */
   def decodeSamples(bytes: Array[Byte]): Array[Int] = {
     if (bytes == null) return null
-    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    val img = ImageCodec.decodeImage(bytes)
     if (img == null) return null
     val w = img.getWidth
     val raster = img.getRaster

@@ -61,13 +61,17 @@ object WavCodec {
     if (new String(riff, "US-ASCII") != "RIFF" || new String(wave, "US-ASCII") != "WAVE")
       return null
     var sampleRate = 0
-    // walk chunks: fmt must precede data (as we and ffmpeg write it)
+    // walk chunks: fmt must precede data (as we and ffmpeg write it).
+    // Every branch rejects sz < 0 — a negative size would otherwise move
+    // the cursor BACKWARDS (infinite loop) or blow up the data array,
+    // violating the null-on-malformed contract.
     while (buf.remaining() >= 8) {
       val id = new Array[Byte](4); buf.get(id)
       val sz = buf.getInt
+      if (sz < 0 || buf.remaining() < sz) return null
       new String(id, "US-ASCII") match {
         case "fmt " =>
-          if (sz < 16 || buf.remaining() < sz) return null
+          if (sz < 16) return null
           val fmt = buf.getShort
           val ch = buf.getShort
           sampleRate = buf.getInt
@@ -76,14 +80,13 @@ object WavCodec {
           if (fmt != 1 || ch != 1 || bits != 16) return null
           buf.position(buf.position() + (sz - 16))
         case "data" =>
-          if (sampleRate == 0 || buf.remaining() < sz) return null
+          if (sampleRate == 0) return null
           val n = sz / 2
           val out = new Array[Short](n)
           var i = 0
           while (i < n) { out(i) = buf.getShort; i += 1 }
           return (sampleRate, out)
         case _ =>
-          if (buf.remaining() < sz) return null
           buf.position(buf.position() + sz)
       }
     }

@@ -57,19 +57,27 @@ object OpaqueMedia {
       val dec = graft.codec.WavCodec.decodePcm16(bytes)
       if (dec == null) new Array[Float](FeatureDim)
       else {
-        // FeatureDim chunk RMS energies of the normalized wave
+        // FeatureDim chunk RMS energies of the normalized wave; the last
+        // chunk absorbs the remainder, so divide by the ACTUAL per-chunk
+        // count, not the nominal chunk size
         val s = dec._2
         val out = new Array[Float](FeatureDim)
         if (s.nonEmpty) {
           val chunk = math.max(1, s.length / FeatureDim)
+          val counts = new Array[Int](FeatureDim)
           var i = 0
           while (i < s.length) {
+            val k = math.min(i / chunk, FeatureDim - 1)
             val x = s(i) / 32767.0
-            out(math.min(i / chunk, FeatureDim - 1)) += (x * x).toFloat
+            out(k) += (x * x).toFloat
+            counts(k) += 1
             i += 1
           }
           var k = 0
-          while (k < FeatureDim) { out(k) = math.sqrt(out(k) / chunk).toFloat; k += 1 }
+          while (k < FeatureDim) {
+            out(k) = math.sqrt(out(k) / math.max(1, counts(k))).toFloat
+            k += 1
+          }
         }
         out
       }
@@ -77,12 +85,19 @@ object OpaqueMedia {
       val d = graft.codec.DepthCodec.decodePng16(bytes)
       if (d == null) new Array[Float](FeatureDim)
       else {
-        // FeatureDim block means of the normalized depth
+        // FeatureDim block means of the normalized depth (remainder block
+        // divided by its actual count — see the wav branch)
         val out = new Array[Float](FeatureDim)
+        val counts = new Array[Int](FeatureDim)
         val chunk = math.max(1, d.length / FeatureDim)
         var i = 0
-        while (i < d.length) { out(math.min(i / chunk, FeatureDim - 1)) += d(i); i += 1 }
-        out.map(v => v / chunk)
+        while (i < d.length) {
+          val k = math.min(i / chunk, FeatureDim - 1)
+          out(k) += d(i)
+          counts(k) += 1
+          i += 1
+        }
+        Array.tabulate(FeatureDim)(k => out(k) / math.max(1, counts(k)))
       }
     case _ => stubDecodeEmbed(bytes)
   }

@@ -81,10 +81,18 @@ object Resume {
     if (todoParts.isEmpty) return 0L
 
     val work = features.where(col(partitionCol).isin(todoParts: _*))
+    // DYNAMIC partition overwrite, not append: a crashed prior attempt may
+    // have left this partition's data files without a manifest row; an
+    // append would double the rows and the read-back below would then
+    // record the doubled stats as truth (audit blind to the corruption).
+    // Overwrite replaces exactly the partitions written here — completed
+    // partitions from earlier snapshots are untouched — making every
+    // retry idempotent.
     work
       .withColumn("__part", col(partitionCol))
       .write
-      .mode(SaveMode.Append)
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy("__part")
       .parquet(s"$outDir/data")
 

@@ -50,23 +50,37 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
     nullSafeCodeGen(
       ctx,
       ev,
-      (a, b) => s"""
-         |int graft_n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double graft_d = 0.0, graft_na = 0.0, graft_nb = 0.0;
-         |for (int graft_i = 0; graft_i < graft_n; graft_i++) {
-         |  double graft_x = $a.getDouble(graft_i);
-         |  double graft_y = $b.getDouble(graft_i);
-         |  graft_d += graft_x * graft_y;
-         |  graft_na += graft_x * graft_x;
-         |  graft_nb += graft_y * graft_y;
-         |}
-         |double graft_den = java.lang.Math.sqrt(graft_na) * java.lang.Math.sqrt(graft_nb);
-         |if (graft_den == 0.0) {
-         |  ${ev.isNull} = true;
-         |} else {
-         |  ${ev.value} = graft_d / graft_den;
-         |}
-       """.stripMargin)
+      (a, b) => {
+        // ctx.freshName, NOT fixed names: with non-nullable children
+        // nullSafeExec inlines this block unbraced, and two CosineSim
+        // instances in one codegen scope would redeclare the same locals
+        // (Janino error → silent whole-stage fallback)
+        val n = ctx.freshName("cosN")
+        val d = ctx.freshName("cosD")
+        val na = ctx.freshName("cosNa")
+        val nb = ctx.freshName("cosNb")
+        val i = ctx.freshName("cosI")
+        val x = ctx.freshName("cosX")
+        val y = ctx.freshName("cosY")
+        val den = ctx.freshName("cosDen")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $d = 0.0, $na = 0.0, $nb = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $x = $a.getDouble($i);
+           |  double $y = $b.getDouble($i);
+           |  $d += $x * $y;
+           |  $na += $x * $x;
+           |  $nb += $y * $y;
+           |}
+           |double $den = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+           |if ($den == 0.0) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  ${ev.value} = $d / $den;
+           |}
+         """.stripMargin
+      })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression,

@@ -68,6 +68,21 @@ class ResumeSpec extends SparkSpec {
     assert(Resume.audit(spark, refDir, "entity", "ts", "vec").count() == 0L)
   }
 
+  test("a crashed attempt's orphan partition data is replaced, not doubled") {
+    val dir = freshDir("orphan")
+    // simulate a prior attempt that wrote data but died before the manifest
+    features.where($"entity" === "e0000")
+      .withColumn("__part", $"entity")
+      .write.mode("append").partitionBy("__part").parquet(s"$dir/data")
+    Resume.processPending(spark, features, "entity", "ts", "vec", dir, 1L)
+    val cleanCount = features.where($"entity" === "e0000").count()
+    val m = Resume.readManifest(spark, dir)
+    val row = m.where($"partition" === "e0000").head()
+    assert(row.getLong(row.fieldIndex("rowCount")) == cleanCount, "orphan rows doubled into manifest")
+    assert(spark.read.parquet(s"$dir/data").where($"entity" === "e0000").count() == cleanCount)
+    assert(Resume.audit(spark, dir, "entity", "ts", "vec").count() == 0L)
+  }
+
   test("readAsOf time-travels to a snapshot's partition set") {
     val dir = freshDir("timetravel")
     Resume.processPending(spark, features, "entity", "ts", "vec", dir, 1L, maxPartitions = 2)
