@@ -40,6 +40,21 @@ object SparkEntry {
       lit("]"))
   }
 
+  /** Shared body of q_tumbling_ceil / q_tumbling_floor: windows of 7 frames
+    * on a dense per-label rank axis (row_number − 1, the reference's frame
+    * index), element-wise vecAvg per window; each label's last window is
+    * partial, so the two tail modes provably diverge on every label. */
+  private def tumblingTail(s: SparkSession, dir: String, tail: Windows.TailMode): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+    val ranked = emb
+      .withColumn("rk", row_number().over(Window.partitionBy(col("label")).orderBy(col("vec_id"))) - 1)
+      .withColumn("dvec", col("embedding").cast("array<double>"))
+    Windows
+      .tumblingAgg(ranked, "label", "rk", 7L, tail, Seq(VecOps.vecAvg(col("dvec")).as("raw")))
+      .select(col("label"), col("win_id"), col("win_n"), vecFixed(col("raw"), 4).as("win_vec"))
+  }
+
   private def ev(s: SparkSession, dir: String): DataFrame =
     // ts is TIMESTAMP_NTZ in the parquet; session tz is pinned UTC, so the
     // cast makes unix_micros agree with DuckDB's epoch_us on the naive value.
@@ -151,18 +166,14 @@ object SparkEntry {
       val e = ev(s, dir).select(
         col("user_id"),
         col("ts_us"),
-        when(col("event_type") === "purchase", col("value")).as("v"))
-      val filled = graft.streaming.StreamingFeatures
+        when(col("event_type") === "purchase", col("value")).as("v"),
+        col("event_id").as("tag"))
+      graft.streaming.StreamingFeatures
         .statefulLocf(e.as[graft.streaming.StreamingFeatures.LocfEvent])
         .toDF()
-      // one join, only to recover event_id (not part of the typed state op)
-      filled
-        .join(
-          ev(s, dir).select(col("user_id"), col("ts_us"), col("event_id")),
-          Seq("user_id", "ts_us"))
         .select(
           col("user_id"),
-          col("event_id"),
+          col("tag").as("event_id"),
           col("ts_us"),
           round(col("v_filled"), 4).as("locf_value"))
     }),
@@ -197,6 +208,13 @@ object SparkEntry {
           col("duration"),
           round(col("avg_value"), 4).as("avg_value"))
     }),
+    // ---- A2 vs A3: the reference's ONE genuine semantic divergence on
+    //      partial final windows (multimodal_segment_feature_extractor.py:
+    //      170-187 keeps the tail; text_features/imagebind_feature_extractor
+    //      .py:136-153 drops it) — both tail modes of Windows.tumblingAgg +
+    //      vecAvg, hash-checked vs DuckDB on a dense per-label frame axis ----
+    "q_tumbling_ceil" -> ((s, dir) => tumblingTail(s, dir, Windows.CeilTail)),
+    "q_tumbling_floor" -> ((s, dir) => tumblingTail(s, dir, Windows.FloorTail)),
     // ---- W1/A2: tumbling window aggregate (1 day) ----
     "q_tumbling_window" -> ((s, dir) => {
       ev(s, dir)
@@ -524,16 +542,48 @@ object SparkEntry {
         get_json_object(col("props"), "$.k").cast("long").as("k"))
     }),
     // ---- J4/§7.3: resumable manifest job — runs the image feature job into
-    //      a fresh dir in two snapshots (simulated kill), returns lineage ----
+    //      a fresh dir in two snapshots (simulated kill), returns lineage.
+    //      The feature plan is checkpointed ONCE: without it each snapshot's
+    //      write + read-back re-ran the image decode UDF over the fixture ----
     "q_resume_manifest" -> ((s, _) => {
       val out = java.nio.file.Files.createTempDirectory("graft_resume_q").toString
       val feats = graft.pipeline.FeaturePipeline
         .frameFeatures(graft.synth.SynthImages.table(s, 6, 64))
         .select(col("entity"), col("ts"), col("vec"))
+        .localCheckpoint()
       Resume.processPending(s, feats, "entity", "ts", "vec", out, 1L, maxPartitions = 2)
       Resume.processPending(s, feats, "entity", "ts", "vec", out, 2L)
       Resume.readManifest(s, out)
         .select(col("snapshotId"), col("partition"), col("rowCount"), col("featureDigest"))
+    }),
+    // ---- A6/J5: count-equality audit with a DuckDB oracle — write events-
+    //      derived features in two snapshots, then cross-check THREE counts
+    //      per partition: manifest lineage, a recount of the persisted data,
+    //      and (via the oracle) DuckDB's ground truth; audit_ok asserts the
+    //      digest audit found no mismatch (tamper detection is ResumeSpec's
+    //      job; this row proves the audit runs clean on real written data) ----
+    "q_resume_audit" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_audit_q").toString
+      val feats = ev(s, dir)
+        .where(col("user_id") < 20)
+        .select(col("user_id"), col("ts_us"), array(col("value")).as("vec"))
+      Resume.processPending(s, feats, "user_id", "ts_us", "vec", out, 1L, maxPartitions = 7)
+      Resume.processPending(s, feats, "user_id", "ts_us", "vec", out, 2L)
+      val manifest = Resume.readManifest(s, out)
+        .select(col("partition").cast("long").as("user_id"), col("rowCount").as("n_manifest"))
+      val recounted = Resume.readAsOf(s, out, 2L)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_recount"))
+      val bad = Resume.audit(s, out, "user_id", "ts_us", "vec")
+        .select(col("partition").cast("long").as("user_id"), lit(false).as("audit_ok"))
+      manifest
+        .join(recounted, Seq("user_id"))
+        .join(bad, Seq("user_id"), "left_outer")
+        .select(
+          col("user_id"),
+          col("n_manifest"),
+          col("n_recount"),
+          coalesce(col("audit_ok"), lit(true)).as("audit_ok"))
     })
   )
 
@@ -601,6 +651,11 @@ object SparkEntry {
           |  max(ts_us) - min(ts_us) AS duration,
           |  round(avg(value), 4) AS avg_value
           |FROM sess GROUP BY user_id, session_id""".stripMargin,
+      "q_tumbling_ceil" -> tumblingTailSql(floorOnly = false),
+      "q_tumbling_floor" -> tumblingTailSql(floorOnly = true),
+      "q_resume_audit" ->
+        """SELECT user_id, count(*) AS n_manifest, count(*) AS n_recount, true AS audit_ok
+          |FROM events WHERE user_id < 20 GROUP BY user_id""".stripMargin,
       "q_tumbling_window" ->
         """SELECT user_id, epoch_us(ts) // 86400000000 AS win_id,
           |  count(*) AS n, round(avg(value), 4) AS avg_v
@@ -665,6 +720,25 @@ object SparkEntry {
         """SELECT o_orderkey, round(o_totalprice, 2) AS price
           |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
     ) ++ dedupOracles
+  }
+
+  /** DuckDB twin of [[tumblingTail]]: windows of 7 on the per-label dense
+    * rank, per-position mean, fixed-point vector string; `floorOnly` drops
+    * partial tails (win_n < 7) exactly like Windows.FloorTail. */
+  private def tumblingTailSql(floorOnly: Boolean): String = {
+    val guard = if (floorOnly) "HAVING max(c.win_n) = 7" else ""
+    s"""WITH r AS (
+       |  SELECT label, embedding,
+       |    row_number() OVER (PARTITION BY label ORDER BY vec_id) - 1 AS rk
+       |  FROM embeddings),
+       |e AS (SELECT label, rk // 7 AS win_id, unnest(embedding)::DOUBLE AS v,
+       |        unnest(range(1, len(embedding) + 1)) AS pos
+       |      FROM r),
+       |a AS (SELECT label, win_id, pos, avg(v) AS m FROM e GROUP BY 1, 2, 3),
+       |c AS (SELECT label, rk // 7 AS win_id, count(*) AS win_n FROM r GROUP BY 1, 2)
+       |SELECT a.label AS label, a.win_id AS win_id, max(c.win_n) AS win_n,
+       |  '[' || array_to_string(list(CAST(round(round(m, 4) * 10000) AS BIGINT) ORDER BY pos), ',') || ']' AS win_vec
+       |FROM a JOIN c USING (label, win_id) GROUP BY a.label, a.win_id $guard""".stripMargin
   }
 
   /** Shingle CTE shared by the dedup oracles (3-token shingles of the

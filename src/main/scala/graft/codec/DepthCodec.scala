@@ -100,7 +100,11 @@ object DepthCodec {
     udf((b: Array[Byte]) => Option(decodeSamples(b)).map(_.toSeq))
 
   /** K5 sink: (entity, ts, depth array<float>) → entity-partitioned parquet
-    * of (entity, ts, bytes). Returns the written row count. */
+    * of (entity, ts, bytes). DYNAMIC partition overwrite (same contract as
+    * `Resume.processPending`): a re-run of the same partition replaces its
+    * files instead of doubling the rows, so the sink is idempotent on
+    * resume. Returns the row count of the partitions written by THIS call
+    * only (pre-existing partitions are not counted). */
   def writeDepth(
       df: DataFrame,
       entityCol: String,
@@ -116,9 +120,16 @@ object DepthCodec {
       encodeUdf(w, h, maxV)(col(depthCol)).as("bytes"))
       .withColumn("__part", col(entityCol))
       .write
-      .mode("append")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy("__part")
       .parquet(outDir)
-    df.sparkSession.read.parquet(outDir).count()
+    // O(partitions) driver list of what this call wrote, then a
+    // directory-pruned count over exactly those partitions.
+    val wrote = df.select(col(entityCol).cast("string")).distinct()
+      .collect().map(_.getString(0))
+    df.sparkSession.read.parquet(outDir)
+      .where(col("__part").cast("string").isin(wrote.toSeq: _*))
+      .count()
   }
 }

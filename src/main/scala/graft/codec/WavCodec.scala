@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions.udf
   * imagebind_audio_feature_extractor.py:36`). Here the wave is a float
   * column in [-1, 1]; encode quantizes to int16 in double math (exact —
   * 24-bit float mantissa × 15-bit scale fits a double) and decode returns
-  * either raw int16 samples (integer-exact oracle surface) or /32767 floats
+  * either raw int16 samples (integer-exact oracle surface) or /32768 floats
   * (torchaudio's convention).
   */
 object WavCodec {
@@ -100,9 +100,12 @@ object WavCodec {
   val decodeSamplesUdf: UserDefinedFunction =
     udf((b: Array[Byte]) => Option(decodePcm16(b)).map(_._2.map(_.toInt).toSeq))
 
-  /** Float samples in [-1, 1] (torchaudio convention: /32767). */
+  /** Float samples in [-1, 1) — torchaudio's int16 convention (/32768, the
+    * reference loader `imagebind_audio_feature_extractor.py:36`); the
+    * encoder's *32767 stays asymmetric on purpose so ±1.0 inputs clamp to
+    * full scale without overflow, exactly like torchaudio.save. */
   val decodeUdf: UserDefinedFunction =
-    udf((b: Array[Byte]) => Option(decodePcm16(b)).map(_._2.map(_ / 32767.0f).toSeq))
+    udf((b: Array[Byte]) => Option(decodePcm16(b)).map(_._2.map(_ / 32768.0f).toSeq))
 
   val sampleRateUdf: UserDefinedFunction =
     udf((b: Array[Byte]) => Option(decodePcm16(b)).map(_._1))

@@ -68,7 +68,7 @@ object OpaqueMedia {
           var i = 0
           while (i < s.length) {
             val k = math.min(i / chunk, FeatureDim - 1)
-            val x = s(i) / 32767.0
+            val x = s(i) / 32768.0 // torchaudio int16 normalization
             out(k) += (x * x).toFloat
             counts(k) += 1
             i += 1

@@ -2,6 +2,8 @@ package graft.ops
 
 import java.nio.file.{Files, Paths, StandardOpenOption}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -35,6 +37,22 @@ object Resume {
   private val DigestTmp = "__row_digest"
 
   private def manifestPath(outDir: String) = s"$outDir/_manifest"
+
+  /** Read `<out>/data` with partition-column type inference OFF, so `__part`
+    * comes back as the exact directory string for ANY partition value.
+    * Inference would re-type e.g. a zero-padded "0001" directory to int 1,
+    * making every string-compared prune silently match zero rows (manifest
+    * rows written with empty stats, time travel returning nothing). */
+  private def readDataStringParts(spark: SparkSession, outDir: String): DataFrame = {
+    val key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try spark.read.parquet(s"$outDir/data")
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
 
   /** Read the manifest (empty DataFrame with the right schema if absent). */
   def readManifest(spark: SparkSession, outDir: String): DataFrame = {
@@ -80,7 +98,22 @@ object Resume {
       .map(_.get(0))
     if (todoParts.isEmpty) return 0L
 
-    val work = features.where(col(partitionCol).isin(todoParts: _*))
+    // Small pending sets filter with a literal In-list (prunable, no extra
+    // plan nodes); large ones switch to a broadcast left-semi join — an
+    // In-list over 10^5 partitions would bloat the analyzed plan and driver
+    // memory (every expression copy carries the whole list).
+    val work =
+      if (todoParts.length <= 1000)
+        features.where(col(partitionCol).isin(todoParts: _*))
+      else {
+        val partType = features.schema(partitionCol).dataType
+        val todoDf = spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            todoParts.map(v => org.apache.spark.sql.Row(v)).toSeq.asJava),
+          org.apache.spark.sql.types.StructType(
+            Seq(org.apache.spark.sql.types.StructField(partitionCol, partType))))
+        features.join(broadcast(todoDf), Seq(partitionCol), "left_semi")
+      }
     // DYNAMIC partition overwrite, not append: a crashed prior attempt may
     // have left this partition's data files without a manifest row; an
     // append would double the rows and the read-back below would then
@@ -105,9 +138,11 @@ object Resume {
     // file-backed here since we just wrote parquet).
     // Filter on the __part DIRECTORY column so the read-back partition-prunes
     // to the just-written directories (a semi-join on the data column would
-    // rescan every historical partition's vectors).
-    val written = spark.read.parquet(s"$outDir/data")
-      .where(col("__part").cast("string").isin(todoParts.map(_.toString): _*))
+    // rescan every historical partition's vectors). Inference-free read ⇒
+    // the string compare is type-stable for any partition value; the In-list
+    // here is bounded by maxPartitions (the per-invocation work cap).
+    val written = readDataStringParts(spark, outDir)
+      .where(col("__part").isin(todoParts.map(_.toString): _*))
     val inputs = written
       .withColumn("__file", input_file_name())
       .withColumn(DigestTmp, rowDigest(col(partitionCol), col(tsCol), col(vecCol)))
@@ -151,8 +186,8 @@ object Resume {
       .distinct()
       .collect()
       .map(_.get(0).toString)
-    spark.read.parquet(s"$outDir/data")
-      .where(col("__part").cast("string").isin(parts.toSeq: _*))
+    readDataStringParts(spark, outDir)
+      .where(col("__part").isin(parts.toSeq: _*))
   }
 
   /** Audit: recompute row counts + digests from the written data and compare
@@ -165,7 +200,7 @@ object Resume {
       partitionCol: String,
       tsCol: String,
       vecCol: String): DataFrame = {
-    val data = spark.read.parquet(s"$outDir/data")
+    val data = readDataStringParts(spark, outDir)
       .withColumnRenamed("__part", "partition")
     val recomputed = data
       .withColumn(DigestTmp, rowDigest(col(partitionCol), col(tsCol), col(vecCol)))

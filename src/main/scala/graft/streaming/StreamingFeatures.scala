@@ -31,8 +31,11 @@ object StreamingFeatures {
         col("n"),
         col("avg_v"))
 
-  final case class LocfEvent(user_id: Long, ts_us: Long, v: Option[Double])
-  final case class LocfOut(user_id: Long, ts_us: Long, v_filled: Option[Double])
+  /** `tag` is an opaque per-row id (e.g. an event id) carried through the
+    * stateful op unchanged, so callers never need a recovery join on
+    * (user, ts) to re-attach row identity to the filled output. */
+  final case class LocfEvent(user_id: Long, ts_us: Long, v: Option[Double], tag: Long = 0L)
+  final case class LocfOut(user_id: Long, ts_us: Long, v_filled: Option[Double], tag: Long = 0L)
   final case class LocfCarry(lastTs: Long, lastV: Double)
 
   /** Stateful streaming LOCF — the incremental twin of
@@ -60,9 +63,9 @@ object StreamingFeatures {
             e.v match {
               case Some(value) =>
                 carry = Some(LocfCarry(e.ts_us, value))
-                LocfOut(key, e.ts_us, e.v)
+                LocfOut(key, e.ts_us, e.v, e.tag)
               case None =>
-                LocfOut(key, e.ts_us, carry.map(_.lastV))
+                LocfOut(key, e.ts_us, carry.map(_.lastV), e.tag)
             }
           }
           carry.foreach(state.update)

@@ -31,7 +31,7 @@ class OpaqueMediaSpec extends SparkSpec {
     val wavVec = OpaqueMedia.decodeEmbed(
       MediaMeta("a", "audio", "pcm16_wav", 40L, 16000, 0, 0), wavBytes)
     assert(wavVec.length == OpaqueMedia.FeatureDim)
-    val q = math.round(0.5 * 32767.0) / 32767.0 // quantized amplitude
+    val q = math.round(0.5 * 32767.0) / 32768.0 // quantized, torchaudio-normalized
     wavVec.foreach(v => assert(math.abs(v - q) < 1e-4, s"chunk RMS $v != $q"))
 
     // a constant depth map decodes to equal block means

@@ -78,7 +78,8 @@ class StreamingSpec extends SparkSpec {
     // batch-mode equivalence vs the window-based LOCF on real events
     val e = spark.read.parquet(eventsPath)
       .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("ts_us"),
-        when(col("event_type") === "purchase", col("value")).as("v"))
+        when(col("event_type") === "purchase", col("value")).as("v"),
+        col("event_id").as("tag"))
     val fromState = StreamingFeatures.statefulLocf(e.as[LocfEvent]).collect()
       .groupBy(o => (o.user_id, o.ts_us))
       .map { case (k, vs) => k -> vs.map(_.v_filled).toSet }
