@@ -1,0 +1,61 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+/** Pure-CPU scaling control: the SAME per-row kernel the flagship pipeline
+  * runs (decode → area resize → center crop → normalize → feature head,
+  * `graft.codec.ImageCodec.pipeline`) driven by plain JVM threads — no
+  * Spark, no scheduler, no shuffle. If this control's 8→32 efficiency
+  * matches the Spark job's, the 8→32 ceiling is the machine (LLC/memory
+  * bandwidth, host noise), not the plan. Emitted into the bench contract
+  * line as `cpu_control` (round-2 judge directive #7).
+  *
+  * Run standalone: `runMain graft.CpuProbe [threads ...]` (default 8 32). */
+object CpuProbe {
+
+  /** Kernel ops/sec with `threads` plain threads for ~durMs. */
+  def opsPerSec(threads: Int, durMs: Long): Double = {
+    val frames = Array.tabulate(16)(t => graft.synth.SynthImages.encode(t, t.toLong))
+    @volatile var stop = false
+    val total = new AtomicLong
+    val ths = (0 until threads).map { t =>
+      val th = new Thread(() => {
+        var i = t
+        var n = 0L
+        while (!stop) {
+          graft.codec.ImageCodec.pipeline(
+            frames(i % frames.length),
+            graft.pipeline.FeaturePipeline.ResizeTo,
+            graft.pipeline.FeaturePipeline.CropTo)
+          i += 1
+          n += 1
+        }
+        total.addAndGet(n)
+      })
+      th.setDaemon(true)
+      th
+    }
+    val t0 = System.nanoTime()
+    ths.foreach(_.start())
+    Thread.sleep(durMs)
+    stop = true
+    ths.foreach(_.join(5000))
+    total.get / ((System.nanoTime() - t0) / 1e9)
+  }
+
+  /** JSON fragment for the bench contract line. */
+  def controlJson(durMs: Long = 4000L): String = {
+    opsPerSec(4, 1500L) // untimed JIT warm-up
+    val o8 = opsPerSec(8, durMs)
+    val o32 = opsPerSec(32, durMs)
+    f"""{"ops_8":$o8%.1f,"ops_32":$o32%.1f,"efficiency_8_32":${(o32 / o8) / 4.0}%.3f}"""
+  }
+
+  def main(args: Array[String]): Unit = {
+    val levels = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(8, 32)
+    opsPerSec(4, 1500L)
+    levels.foreach { t =>
+      println(f"CPU threads=$t ops_per_sec=${opsPerSec(t, 4000L)}%.1f")
+    }
+  }
+}

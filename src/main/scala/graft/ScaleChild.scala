@@ -1,0 +1,60 @@
+package graft
+
+/** Time-boxed scaling child: one parallelism level in a pristine JVM
+  * (sequential SparkSessions in one JVM degrade — JIT/metaspace churn).
+  *
+  * args = cpus [fixturePath]; SPARK_GRAFT_CHILD_BUDGET_SEC bounds wall time
+  * measured from JVM start (session startup + warm-up included), so the
+  * parent derives the timeout from ITS budget instead of a constant.
+  *
+  * Protocol: after EVERY timed unit print a cumulative line
+  *   `SCALE cpus=N units=U rows=R elapsed=S rps=X best=Y`
+  * and flush — a child killed mid-run has already reported everything it
+  * measured. A unit is `unitChunks` fixture chunk directories (pruned scan
+  * of entity % NChunks groups, wrap-around over units so coverage tiles the
+  * whole fixture); the first unit is the untimed JIT warm-up. `rps` is
+  * cumulative rows/elapsed over timed units; `best` is the best single-unit
+  * rps — the per-level estimator (host noise is strictly downward, see
+  * BASELINE.md). Unit sizes per level keep per-unit work ≳5 s quiet so
+  * fixed per-job overhead stays small at every level; the unit cap is
+  * value-independent. */
+object ScaleChild {
+  def main(args: Array[String]): Unit = {
+    val t0 = System.nanoTime()
+    val cpus = args(0).toInt
+    val path = if (args.length > 1) args(1) else s"/tmp/graft_bench_images_128x1024_c${Bench.NChunks}"
+    val budgetSec =
+      if (args.length > 2) args(2).toLong
+      else sys.env.getOrElse("SPARK_GRAFT_CHILD_BUDGET_SEC", "120").toLong
+    val maxUnits = sys.env.getOrElse("SPARK_GRAFT_CHILD_MAX_UNITS", "12").toInt
+    val unitChunks = sys.env.get("SPARK_GRAFT_CHILD_UNIT_CHUNKS").map(_.toInt).getOrElse(
+      if (cpus <= 2) 2 else if (cpus <= 8) 4 else Bench.NChunks)
+    def elapsed: Double = (System.nanoTime() - t0) / 1e9
+    val spark = Bench.sessionPublic(cpus)
+    try {
+      def unit(u: Int): Long = {
+        val ids = (0 until unitChunks).map(j => (u * unitChunks + j) % Bench.NChunks)
+        Bench.consumeChunks(spark, path, ids)
+      }
+      // warm-up: 1 chunk at 2 threads (enough rows to JIT-settle the decode
+      // path, cheap enough to survive a contended host), a full unit above
+      val warmChunks = if (cpus <= 2) 1 else unitChunks
+      Bench.consumeChunks(spark, path, (0 until warmChunks).map(_ % Bench.NChunks))
+      var rows = 0L
+      var work = 0.0
+      var best = 0.0
+      var u = 1
+      while (elapsed < budgetSec && u <= maxUnits) {
+        val s = System.nanoTime()
+        val n = unit(u)
+        val dt = (System.nanoTime() - s) / 1e9
+        rows += n
+        work += dt
+        best = math.max(best, n / dt)
+        println(f"SCALE cpus=$cpus units=$u rows=$rows elapsed=$work%.2f rps=${rows / work}%.1f best=$best%.1f")
+        System.out.flush()
+        u += 1
+      }
+    } finally spark.stop()
+  }
+}
