@@ -131,13 +131,50 @@ object Bench {
   @volatile private var scalingState: Option[(Map[Int, (Long, Double)], Map[String, Double])] = None
   @volatile private var skewState: Option[String] = None
   @volatile private var cpuState: Option[String] = None
+  /** stdout file + level of the scaling child currently running, so a
+    * SIGTERM DURING a child (the exact round-1/2 death mode) still harvests
+    * that child's partial SCALE lines from the shutdown hook. */
+  @volatile private var inFlight: Option[(java.nio.file.Path, Int)] = None
+
+  /** Fold one level measurement into the published scaling state
+    * (best-of-level; recomputes pair efficiencies). */
+  private val levelBest = scala.collection.concurrent.TrieMap.empty[Int, (Long, Double)]
+  private def recordLevel(cpus: Int, rows: Long, rps: Double): Unit = {
+    if (levelBest.get(cpus).forall(_._2 < rps)) levelBest(cpus) = (rows, rps)
+    val byLevel = levelBest.toMap
+    if (byLevel.nonEmpty) {
+      // publish even a single level: a partial artifact (one rps) still
+      // beats the round-1/2 outcome (nothing)
+      val effs = Seq((2, 8, "2_8"), (8, 32, "8_32")).flatMap { case (lo, hi, name) =>
+        for (l <- byLevel.get(lo); h <- byLevel.get(hi)) yield name -> (h._2 / l._2) / 4.0
+      }.toMap
+      scalingState = Some((byLevel, effs))
+    }
+  }
+
+  private def parseScale(line: String): Option[(Long, Double)] =
+    for {
+      rows <- "rows=(\\d+)".r.findFirstMatchIn(line).map(_.group(1).toLong)
+      rps <- "best=([0-9.]+)".r.findFirstMatchIn(line).map(_.group(1).toDouble)
+        .orElse("rps=([0-9.]+)".r.findFirstMatchIn(line).map(_.group(1).toDouble))
+    } yield (rows, rps)
+
+  private def harvestInFlight(): Unit = inFlight.foreach { case (f, cpus) =>
+    try {
+      val out = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+      out.linesIterator.filter(_.startsWith("SCALE")).toSeq.lastOption
+        .flatMap(parseScale)
+        .foreach { case (rows, rps) => recordLevel(cpus, rows, rps) }
+    } catch { case _: Throwable => () }
+  }
 
   private def scalingJson(rps: Map[Int, (Long, Double)], effs: Map[String, Double]): String = {
-    val levels = rps.toSeq.sortBy(_._1)
-      .map { case (c, (_, r)) => f""""rps_$c":$r%.1f""" }.mkString(",")
-    val es = effs.toSeq.sorted.map { case (n, e) => f""""efficiency_$n":$e%.3f""" }.mkString(",")
-    val headline = effs.get("2_8").map(e => f""","efficiency":$e%.3f""").getOrElse("")
-    f"""{"rows":${rps.head._2._1},$levels,$es$headline}"""
+    val parts =
+      Seq(s""""rows":${rps.head._2._1}""") ++
+        rps.toSeq.sortBy(_._1).map { case (c, (_, r)) => f""""rps_$c":$r%.1f""" } ++
+        effs.toSeq.sorted.map { case (n, e) => f""""efficiency_$n":$e%.3f""" } ++
+        effs.get("2_8").map(e => f""""efficiency":$e%.3f""").toSeq
+    parts.mkString("{", ",", "}")
   }
 
   private def contractLine(): String = {
@@ -177,7 +214,7 @@ object Bench {
     val start = System.nanoTime()
     def elapsedSec: Long = (System.nanoTime() - start) / 1000000000L
     sfDirSeen = sfDir
-    Runtime.getRuntime.addShutdownHook(new Thread(() => emitOnce()))
+    Runtime.getRuntime.addShutdownHook(new Thread(() => { harvestInFlight(); emitOnce() }))
 
     // exact all-pairs cosine is oracle duty; cap its bench input (see
     // SparkEntry.q_cosine_near_dup — the scale path is Similarity.annLsh)
@@ -194,19 +231,11 @@ object Bench {
         System.err.println(s"[bench] fixture $inputPath ready at t=${elapsedSec}s")
         val scalingDeadline = math.min(scalingBudget, budgetSec - 120)
         val levels = Seq(2, 8, 32)
-        val weights = Map(2 -> 0.40, 8 -> 0.30, 32 -> 0.30)
+        // 2 threads is the slowest per unit; 8 threads needs several units
+        // to JIT-settle, so it gets slightly more than 32 (which warms in
+        // one or two units and is not part of the headline pair)
+        val weights = Map(2 -> 0.38, 8 -> 0.34, 32 -> 0.28)
         val maxSweeps = sys.env.getOrElse("SPARK_GRAFT_BENCH_SWEEPS", "3").toInt
-        val runs = scala.collection.mutable.ArrayBuffer.empty[(Int, (Long, Double))]
-        def refresh(): Unit = {
-          val byLevel = runs.groupBy(_._1).map { case (c, rs) => c -> rs.map(_._2).maxBy(_._2) }
-          if (byLevel.size >= 2) {
-            val effs = Seq((2, 8, "2_8"), (8, 32, "8_32")).flatMap { case (lo, hi, name) =>
-              for (l <- byLevel.get(lo); h <- byLevel.get(hi))
-                yield name -> (h._2 / l._2) / 4.0
-            }.toMap
-            scalingState = Some((byLevel, effs))
-          }
-        }
         var sweep = 1
         while (sweep <= maxSweeps && elapsedSec < scalingDeadline - 40) {
           levels.zipWithIndex.foreach { case (c, idx) =>
@@ -216,13 +245,16 @@ object Bench {
               // still to run in THIS sweep — budget-derived, never a constant
               val weightsLeft = levels.drop(idx).map(weights).sum
               val share = (remaining * weights(c) / weightsLeft).toLong
-              val childBudget = math.max(45L, math.min(share, math.min(200L, remaining)))
+              // cap 140 s: under contention a lower cap leaves room for a
+              // SECOND sweep — two children separated in time sample two
+              // host-noise windows, which beats one long child stuck in one
+              val childBudget = math.max(45L, math.min(share, math.min(140L, remaining)))
               spawnChild(c, inputPath, childBudget) match {
                 case Some(r) =>
                   System.err.println(
                     f"[scale] sweep$sweep cpus=$c rows=${r._1} best_rps=${r._2}%.1f (budget ${childBudget}s)")
-                  runs += (c -> r)
-                  refresh() // partial state survives a driver-timeout SIGTERM
+                  // partial state survives a driver-timeout SIGTERM
+                  recordLevel(c, r._1, r._2)
                 case None =>
                   System.err.println(s"[scale] sweep$sweep cpus=$c produced no SCALE line (budget ${childBudget}s)")
               }
@@ -309,13 +341,15 @@ object Bench {
       cmd: java.util.List[String],
       env: Map[String, String],
       timeoutSec: Long,
-      linePrefix: String): Option[String] = {
+      linePrefix: String,
+      trackLevel: Option[Int] = None): Option[String] = {
     val pb = new ProcessBuilder(cmd)
     pb.redirectError(ProcessBuilder.Redirect.DISCARD)
     env.foreach { case (k, v) => pb.environment().put(k, v) }
     val outFile = java.nio.file.Files.createTempFile("graft_child_out", ".txt")
     pb.redirectOutput(outFile.toFile)
     val proc = pb.start()
+    inFlight = trackLevel.map(c => (outFile, c))
     try {
       if (!proc.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)) {
         proc.destroyForcibly()
@@ -324,7 +358,10 @@ object Bench {
       }
       val out = new String(java.nio.file.Files.readAllBytes(outFile), "UTF-8")
       out.linesIterator.filter(_.startsWith(linePrefix)).toSeq.lastOption
-    } finally java.nio.file.Files.deleteIfExists(outFile)
+    } finally {
+      inFlight = None
+      java.nio.file.Files.deleteIfExists(outFile)
+    }
   }
 
   private def spawnChild(cpus: Int, inputPath: String, budgetSec: Long): Option[(Long, Double)] =
@@ -333,13 +370,8 @@ object Bench {
       Map("SPARK_GRAFT_CHILD_BUDGET_SEC" -> budgetSec.toString),
       // grace covers one in-flight unit + JVM/session teardown
       budgetSec + 90,
-      "SCALE").flatMap { line =>
-      for {
-        rows <- "rows=(\\d+)".r.findFirstMatchIn(line).map(_.group(1).toLong)
-        rps <- "best=([0-9.]+)".r.findFirstMatchIn(line).map(_.group(1).toDouble)
-          .orElse("rps=([0-9.]+)".r.findFirstMatchIn(line).map(_.group(1).toDouble))
-      } yield (rows, rps)
-    }
+      "SCALE",
+      trackLevel = Some(cpus)).flatMap(parseScale)
 
   private def spawnSkew(budgetSec: Long): Option[String] =
     spawnAndHarvest(

@@ -26,7 +26,11 @@ object ScaleChild {
     val budgetSec =
       if (args.length > 2) args(2).toLong
       else sys.env.getOrElse("SPARK_GRAFT_CHILD_BUDGET_SEC", "120").toLong
-    val maxUnits = sys.env.getOrElse("SPARK_GRAFT_CHILD_MAX_UNITS", "12").toInt
+    // more draws at 8/32 threads (units are ~4s there, and the pair
+    // efficiency is only as good as the fast level's best clean window);
+    // 2-thread units are ~7s and that level reproduces within ±3%
+    val maxUnits = sys.env.get("SPARK_GRAFT_CHILD_MAX_UNITS").map(_.toInt)
+      .getOrElse(if (cpus <= 2) 12 else 18)
     val unitChunks = sys.env.get("SPARK_GRAFT_CHILD_UNIT_CHUNKS").map(_.toInt).getOrElse(
       if (cpus <= 2) 2 else if (cpus <= 8) 4 else Bench.NChunks)
     def elapsed: Double = (System.nanoTime() - t0) / 1e9
@@ -36,9 +40,11 @@ object ScaleChild {
         val ids = (0 until unitChunks).map(j => (u * unitChunks + j) % Bench.NChunks)
         Bench.consumeChunks(spark, path, ids)
       }
-      // warm-up: 1 chunk at 2 threads (enough rows to JIT-settle the decode
-      // path, cheap enough to survive a contended host), a full unit above
-      val warmChunks = if (cpus <= 2) 1 else unitChunks
+      // warm-up: 1 chunk at 2 threads, half a unit above — enough rows
+      // (13-52k) to JIT-settle the decode path, cheap enough that a starved
+      // budget still leaves room for timed units (best-of-units absorbs the
+      // residual ramp; an expensive warm-up cannot be absorbed by anything)
+      val warmChunks = if (cpus <= 2) 1 else math.max(2, unitChunks / 2)
       Bench.consumeChunks(spark, path, (0 until warmChunks).map(_ % Bench.NChunks))
       var rows = 0L
       var work = 0.0

@@ -514,6 +514,79 @@ object SparkEntry {
         .select(col("user_id"), col("win_start_us"), col("n"),
           round(col("avg_v"), 4).as("avg_v"))
     }),
+    // ---- §2.8 + W9: STREAMING gap sessionization == batch sessionize,
+    //      against the same oracle family as q_session_stats. Append mode
+    //      with a 0s watermark only emits a session once the watermark
+    //      passes its end, and the watermark only advances between batches,
+    //      so the stage dir feeds three single-file batches
+    //      (maxFilesPerTrigger=1): the real events, then two far-future
+    //      sentinel batches for one user — sentinel #1 advances the
+    //      watermark past every real session end, sentinel #2 triggers the
+    //      eviction pass. The sentinel sessions themselves end beyond the
+    //      final watermark and are never emitted (defensive filter anyway) ----
+    "q_streaming_session" -> ((s, dir) => {
+      import java.nio.file.{Files, Paths}
+      val stage = Files.createTempDirectory("graft_stream_sess")
+      Files.copy(Paths.get(s"$dir/events.parquet"), stage.resolve("0_events.parquet"))
+      val events = s.read.parquet(s"$dir/events.parquet")
+      val schema = events.schema
+      val maxTsUs = events.agg(max(unix_micros(col("ts").cast("timestamp")))).head().getLong(0)
+      Seq(1, 2).foreach { i =>
+        val tmp = Files.createTempDirectory(s"graft_sess_sent$i")
+        events.limit(1)
+          .withColumn("ts", expr(s"ts + INTERVAL ${60 * i} DAYS"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+        val part = Files.list(tmp).iterator()
+        var moved = false
+        while (part.hasNext && !moved) {
+          val f = part.next()
+          if (f.getFileName.toString.endsWith(".parquet")) {
+            Files.move(f, stage.resolve(s"${i}_sentinel.parquet"))
+            moved = true
+          }
+        }
+      }
+      val ckpt = Files.createTempDirectory("graft_stream_sess_ckpt")
+      // scoped shuffle-partition override: stateful streaming cost is
+      // dominated by per-batch state-store instances (one per shuffle
+      // partition per batch), not data volume at this scale — the query
+      // runs 3 micro-batches; 8 stores instead of 32 is ~2× wall. The
+      // stream captures the conf at start(); restored right after.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q =
+        try graft.streaming.StreamingFeatures
+          .sessionAgg(
+            s.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(stage.toString),
+            s"${SessionGapUs / 1000000L} seconds",
+            "0 seconds")
+          .writeStream
+          .outputMode("append")
+          .format("memory")
+          .queryName("q_streaming_session_sink")
+          .option("checkpointLocation", ckpt.toString)
+          .start()
+        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      try {
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+        q.awaitTermination()
+        Seq(ckpt, stage).foreach { p =>
+          import scala.jdk.CollectionConverters._
+          Files.walk(p).iterator().asScala.toSeq.reverse
+            .foreach(f => Files.deleteIfExists(f))
+        }
+      }
+      s.table("q_streaming_session_sink")
+        .where(col("session_start_us") <= maxTsUs) // sentinels (never emitted) guard
+        .select(
+          col("user_id"),
+          col("session_start_us"),
+          col("n_rows"),
+          round(col("avg_value"), 4).as("avg_value"))
+    }),
     // ---- S4/A5: per-window ordered gather (collect_list sorted by ts) —
     //      the reference's get_clip + vstack as one aggregate ----
     "q_window_gather" -> ((s, dir) => {
@@ -914,6 +987,19 @@ object SparkEntry {
         |     for i in range(1, len(tk) - 6)] END AS shs
         |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk FROM documents))
         |SELECT doc_id, list_min([md5(s) for s in shs]) AS fingerprint FROM sh""".stripMargin,
+    "q_streaming_session" ->
+      """WITH sess AS (
+        |  SELECT user_id, value, epoch_us(ts) AS ts_us,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM (
+        |    SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+        |                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000 THEN 1
+        |              ELSE 0 END AS is_new
+        |    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)))
+        |SELECT user_id, min(ts_us) AS session_start_us, count(*) AS n_rows,
+        |  round(avg(value), 4) AS avg_value
+        |FROM sess GROUP BY user_id, session_id""".stripMargin,
     "q_streaming_tumbling" ->
       """SELECT user_id, (epoch_us(ts) // 86400000000) * 86400000000 AS win_start_us,
         |  count(*) AS n, round(avg(value), 4) AS avg_v
