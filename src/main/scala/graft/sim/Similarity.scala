@@ -106,10 +106,18 @@ object Similarity {
         col(qIdCol).as("query_id"),
         col(qVecCol).cast("array<double>").as("qv"),
         posexplode(lshBuckets(col(qVecCol).cast("array<double>"))).as(Seq("tbl", "sig")))
+    // Score BEFORE deduplicating: a pair surfaces in up to L tables, and a
+    // dropDuplicates that still carries the two vectors forces Spark into
+    // SortAggregates over 64-double arrays (two array sorts + exchange).
+    // Scoring first makes the dedup a hash aggregate over a narrow
+    // (query_id, nn_id, cos) relation — the redundant ≤L cosine evals are
+    // sub-microsecond native-codegen'd expressions, orders cheaper than
+    // sorting array payloads.
     q.join(c, Seq("tbl", "sig"))
       .where(col("nn_id") =!= col("query_id"))
-      .dropDuplicates("query_id", "nn_id")
       .withColumn("cos", round(VecOps.cosineFast(col("v"), col("qv")), 6))
+      .groupBy(col("query_id"), col("nn_id"))
+      .agg(max(col("cos")).as("cos")) // identical across a pair's tables
       .withColumn(
         "rank",
         row_number().over(Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("nn_id"))))
