@@ -66,6 +66,23 @@ class DedupSpec extends SparkSpec {
     assert(diff == 0L, s"$diff docs differ between UDF and column shingles")
   }
 
+  test("simhash UDF == pure-column simhash bit-for-bit (incl. edge cases)") {
+    val edge = Seq(
+      (201L, "  leading and trailing  "),
+      (202L, ""),
+      (203L, "one"),
+      (204L, "Mixed CASE tokens repeated mixed case tokens repeated"))
+      .toDF("doc_id", "text")
+    val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text").unionByName(edge)
+    val both = all.select(
+      $"doc_id",
+      Dedup.simhash($"text").as("u"),
+      Dedup.simhashCol($"text").as("c"))
+    val diff = both.where(!($"u" <=> $"c")).count()
+    assert(diff == 0L, s"$diff docs differ between UDF and column simhash")
+  }
+
   test("ANN LSH top-k achieves recall vs brute force on real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.where($"vec_id" % 50 === 0)
