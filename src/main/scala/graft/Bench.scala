@@ -48,8 +48,6 @@ object Bench {
     s
   }
 
-  def sessionPublic(cpus: Int): SparkSession = session(cpus)
-
   /** Force the WHOLE pipeline per row: a bare count() lets Catalyst prune
     * the decode UDF and window columns away, benchmarking an empty plan.
     * One pass: row count + an all-columns digest. */
@@ -169,8 +167,10 @@ object Bench {
   }
 
   private def scalingJson(rps: Map[Int, (Long, Double)], effs: Map[String, Double]): String = {
+    // "rows" = deepest per-level cumulative measurement (children are
+    // time-boxed, so levels report different cumulative row counts)
     val parts =
-      Seq(s""""rows":${rps.head._2._1}""") ++
+      Seq(s""""rows":${rps.values.map(_._1).max}""") ++
         rps.toSeq.sortBy(_._1).map { case (c, (_, r)) => f""""rps_$c":$r%.1f""" } ++
         effs.toSeq.sorted.map { case (n, e) => f""""efficiency_$n":$e%.3f""" } ++
         effs.get("2_8").map(e => f""""efficiency":$e%.3f""").toSeq
@@ -375,7 +375,7 @@ object Bench {
 
   private def spawnSkew(budgetSec: Long): Option[String] =
     spawnAndHarvest(
-      childCmd("graft.SkewBench", Seq("400000", "31", "32", "json")),
+      childCmd("graft.SkewBench", Seq("3000000", "31", "32", "json")),
       Map.empty,
       math.max(60L, budgetSec),
       "SKEWJSON").map(_.stripPrefix("SKEWJSON").trim)

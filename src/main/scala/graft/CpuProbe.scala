@@ -39,7 +39,11 @@ object CpuProbe {
     ths.foreach(_.start())
     Thread.sleep(durMs)
     stop = true
-    ths.foreach(_.join(5000))
+    // uncapped join, elapsed measured AFTER it: a capped join would drop a
+    // straggler's whole count while keeping its wall time in the
+    // denominator, biasing the contended-host numbers low (the kernel is
+    // pure compute — an in-flight op finishes in ~1 ms, it cannot hang)
+    ths.foreach(_.join())
     total.get / ((System.nanoTime() - t0) / 1e9)
   }
 

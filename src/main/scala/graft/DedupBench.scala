@@ -41,7 +41,7 @@ object DedupBench {
   def main(args: Array[String]): Unit = {
     val nDocs = if (args.length > 0) args(0).toInt else 100000
     val cpus = if (args.length > 1) args(1).toInt else 32
-    val spark = Bench.sessionPublic(cpus)
+    val spark = Bench.session(cpus)
     import spark.implicits._
     val textUdf = udf((id: Long) => docText(id))
     val docs = spark.range(nDocs)

@@ -34,7 +34,7 @@ object ScaleChild {
     val unitChunks = sys.env.get("SPARK_GRAFT_CHILD_UNIT_CHUNKS").map(_.toInt).getOrElse(
       if (cpus <= 2) 2 else if (cpus <= 8) 4 else Bench.NChunks)
     def elapsed: Double = (System.nanoTime() - t0) / 1e9
-    val spark = Bench.sessionPublic(cpus)
+    val spark = Bench.session(cpus)
     try {
       def unit(u: Int): Long = {
         val ids = (0 until unitChunks).map(j => (u * unitChunks + j) % Bench.NChunks)

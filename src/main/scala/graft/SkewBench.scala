@@ -9,10 +9,21 @@ import org.apache.spark.sql.functions._
   * production width spreads the hot entity over span/width tasks. Results
   * land in BASELINE.md.
   *
+  * Two metrics per plan:
+  *  - wall seconds — the end-to-end win, but contention-SENSITIVE: the
+  *    naive plan uses ~1 core, so background host load barely touches it,
+  *    while the bucketed plan wants every core; under heavy external load
+  *    the wall ratio can invert even though the plans haven't changed;
+  *  - max single-task seconds — the skew signal itself (how big is the
+  *    biggest task each plan schedules), contention-ROBUST: load factors
+  *    hit both plans' tasks alike, and the naive plan's hot task stays
+  *    ~(span/width)× larger no matter the host weather.
+  *
   * Run: `runMain graft.SkewBench [hotRows] [coldEntities] [cpus] [json]` —
-  * with `json`, one rep per plan and a single machine-readable
-  * `SKEWJSON {...}` line (Bench folds it into the contract line so the
-  * north rule's explicit-skew-handling claim is driver-visible).
+  * with `json`, one rep per plan and machine-readable `SKEWJSON {...}`
+  * lines, a partial one after the bucketed run (Bench parses the LAST line,
+  * so a timeout-killed child still reports the production number — same
+  * partial-evidence principle as ScaleChild).
   */
 object SkewBench {
   def main(args: Array[String]): Unit = {
@@ -28,7 +39,17 @@ object SkewBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
+
+    // max task duration of the jobs run since the last reset (listener bus
+    // is async — reads happen after a short drain sleep)
+    val maxTaskMs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val d = if (t.taskInfo != null) t.taskInfo.duration else 0L
+        var cur = maxTaskMs.get()
+        while (d > cur && !maxTaskMs.compareAndSet(cur, d)) cur = maxTaskMs.get()
+      }
+    })
 
     val span = 1000000L
     val coldRows = hotRows / 50
@@ -48,9 +69,12 @@ object SkewBench {
     val probes = side(7L).withColumnRenamed("v", "pv").cache()
     val total = build.count() + probes.count()
 
-    def run(name: String, width: Long): Double = {
+    /** (best wall sec, max task sec across reps) for one plan width. */
+    def run(name: String, width: Long): (Double, Double) = {
       val reps = if (jsonMode) 1 else 2
-      (1 to reps).map { rep =>
+      Thread.sleep(300) // drain listener events from previous jobs
+      maxTaskMs.set(0L)
+      val walls = (1 to reps).map { rep =>
         val t0 = System.nanoTime()
         val n = ops.AsOfJoin
           .asOf(probes, build, "entity", "ts", Seq("v"), width)
@@ -59,12 +83,32 @@ object SkewBench {
         if (!jsonMode)
           println(f"SKEW $name rep$rep width=$width rows=$total sec=$sec%.2f check=$n")
         sec
-      }.min
+      }
+      Thread.sleep(300) // let the last tasks' end events land
+      (walls.min, maxTaskMs.get() / 1000.0)
     }
-    val naive = run("naive_1_bucket", span * 10) // whole entity in one task = naive window plan
-    val bucketed = run("bucketed", span / (cpus * 8)) // production: ~256 tasks for the hot entity
+
+    // untimed warm-up in json mode: whichever plan runs first would
+    // otherwise absorb session/JIT/codegen warm-up into its timing (the
+    // interactive mode's rep pairs already absorb this via min-of-2)
     if (jsonMode)
-      println(f"""SKEWJSON {"rows":$total,"naive_sec":$naive%.2f,"bucketed_sec":$bucketed%.2f,"speedup":${naive / bucketed}%.2f}""")
+      ops.AsOfJoin.asOf(probes, build, "entity", "ts", Seq("v"), span / (cpus * 8))
+        .agg(count(lit(1))).head()
+    // bucketed (fast) FIRST so a timeout-killed child has already reported
+    // the production plan's numbers via the partial line below
+    val (bucketed, bucketedMaxTask) = run("bucketed", span / (cpus * 8))
+    if (jsonMode) {
+      println(f"""SKEWJSON {"rows":$total,"bucketed_sec":$bucketed%.2f,"bucketed_max_task_sec":$bucketedMaxTask%.2f}""")
+      System.out.flush()
+    }
+    val (naive, naiveMaxTask) = run("naive_1_bucket", span * 10) // whole entity in one task
+    if (jsonMode)
+      println(
+        f"""SKEWJSON {"rows":$total,"naive_sec":$naive%.2f,"bucketed_sec":$bucketed%.2f,""" +
+          f""""naive_max_task_sec":$naiveMaxTask%.2f,"bucketed_max_task_sec":$bucketedMaxTask%.2f,""" +
+          f""""speedup":${naive / bucketed}%.2f,"max_task_ratio":${naiveMaxTask / math.max(bucketedMaxTask, 0.001)}%.1f}""")
+    else
+      println(f"SKEW max_task naive=$naiveMaxTask%.2f s bucketed=$bucketedMaxTask%.2f s ratio=${naiveMaxTask / math.max(bucketedMaxTask, 0.001)}%.1f")
     spark.stop()
   }
 }

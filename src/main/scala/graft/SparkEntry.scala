@@ -537,15 +537,21 @@ object SparkEntry {
           .withColumn("ts", expr(s"ts + INTERVAL ${60 * i} DAYS"))
           .coalesce(1)
           .write.mode("overwrite").parquet(tmp.toString)
-        val part = Files.list(tmp).iterator()
-        var moved = false
-        while (part.hasNext && !moved) {
-          val f = part.next()
-          if (f.getFileName.toString.endsWith(".parquet")) {
-            Files.move(f, stage.resolve(s"${i}_sentinel.parquet"))
-            moved = true
+        val listing = Files.list(tmp)
+        try {
+          val part = listing.iterator()
+          var moved = false
+          while (part.hasNext && !moved) {
+            val f = part.next()
+            if (f.getFileName.toString.endsWith(".parquet")) {
+              Files.move(f, stage.resolve(s"${i}_sentinel.parquet"))
+              moved = true
+            }
           }
-        }
+        } finally listing.close()
+        import scala.jdk.CollectionConverters._
+        Files.walk(tmp).iterator().asScala.toSeq.reverse
+          .foreach(f => Files.deleteIfExists(f))
       }
       val ckpt = Files.createTempDirectory("graft_stream_sess_ckpt")
       // scoped shuffle-partition override: stateful streaming cost is
@@ -555,11 +561,15 @@ object SparkEntry {
       // stream captures the conf at start(); restored right after.
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
+      // gap + 1 µs: session_window merges only while next < last + gap
+      // (strict), the batch Sessionize splits only when diff > gap — on
+      // integer-microsecond timestamps gap+1µs makes the two identical at
+      // the exact-gap boundary (diff == gap stays merged on both sides)
       val q =
         try graft.streaming.StreamingFeatures
           .sessionAgg(
             s.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(stage.toString),
-            s"${SessionGapUs / 1000000L} seconds",
+            s"${SessionGapUs + 1} microseconds",
             "0 seconds")
           .writeStream
           .outputMode("append")

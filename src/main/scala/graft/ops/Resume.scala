@@ -200,15 +200,22 @@ object Resume {
       partitionCol: String,
       tsCol: String,
       vecCol: String): DataFrame = {
+    val manifest = readManifest(spark, outDir)
+    // The inference-free read makes the data-side key a STRING; cast it to
+    // the manifest's native partition type before joining — a string=long
+    // join would coerce BOTH sides to double and collapse distinct 64-bit
+    // ids >= 2^53 (e.g. xxhash64-derived partitions) onto each other.
+    val partType = manifest.schema("partition").dataType
     val data = readDataStringParts(spark, outDir)
-      .withColumnRenamed("__part", "partition")
+      .withColumn("partition", col("__part").cast(partType))
+      .drop("__part")
     val recomputed = data
       .withColumn(DigestTmp, rowDigest(col(partitionCol), col(tsCol), col(vecCol)))
       .groupBy("partition")
       .agg(
         count(lit(1)).as("rc2"),
         expr(s"bit_xor(${DigestTmp})").as("fd2"))
-    readManifest(spark, outDir)
+    manifest
       .join(recomputed, Seq("partition"), "full_outer")
       .where(
         col("rowCount").isNull || col("rc2").isNull ||
