@@ -129,10 +129,11 @@ object Bench {
   @volatile private var scalingState: Option[(Map[Int, (Long, Double)], Map[String, Double])] = None
   @volatile private var skewState: Option[String] = None
   @volatile private var cpuState: Option[String] = None
-  /** stdout file + level of the scaling child currently running, so a
-    * SIGTERM DURING a child (the exact round-1/2 death mode) still harvests
-    * that child's partial SCALE lines from the shutdown hook. */
-  @volatile private var inFlight: Option[(java.nio.file.Path, Int)] = None
+  /** stdout file + line prefix (+ level for SCALE) of the child currently
+    * running, so a SIGTERM DURING a child (the exact round-1/2 death mode)
+    * still harvests that child's partial SCALE/SKEWJSON lines from the
+    * shutdown hook. */
+  @volatile private var inFlight: Option[(java.nio.file.Path, String, Int)] = None
 
   /** Fold one level measurement into the published scaling state
     * (best-of-level; recomputes pair efficiencies). */
@@ -157,12 +158,15 @@ object Bench {
         .orElse("rps=([0-9.]+)".r.findFirstMatchIn(line).map(_.group(1).toDouble))
     } yield (rows, rps)
 
-  private def harvestInFlight(): Unit = inFlight.foreach { case (f, cpus) =>
+  private def harvestInFlight(): Unit = inFlight.foreach { case (f, prefix, cpus) =>
     try {
       val out = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
-      out.linesIterator.filter(_.startsWith("SCALE")).toSeq.lastOption
-        .flatMap(parseScale)
-        .foreach { case (rows, rps) => recordLevel(cpus, rows, rps) }
+      out.linesIterator.filter(_.startsWith(prefix)).toSeq.lastOption.foreach { line =>
+        if (prefix == "SCALE")
+          parseScale(line).foreach { case (rows, rps) => recordLevel(cpus, rows, rps) }
+        else if (prefix == "SKEWJSON")
+          skewState = Some(line.stripPrefix("SKEWJSON").trim)
+      }
     } catch { case _: Throwable => () }
   }
 
@@ -300,7 +304,7 @@ object Bench {
     spark.stop()
 
     // ---- phase 3: skew evidence (north rule: explicit hot-key handling) ----
-    if (elapsedSec < budgetSec - 50 && !sys.env.contains("SPARK_GRAFT_BENCH_SKIP_SKEW")) {
+    if (elapsedSec < budgetSec - 80 && !sys.env.contains("SPARK_GRAFT_BENCH_SKIP_SKEW")) {
       try spawnSkew(budgetSec - elapsedSec - 25) match {
         case Some(j) => skewState = Some(j); System.err.println(s"[bench] skew: $j")
         case None    => System.err.println("[bench] skew child produced no SKEWJSON line")
@@ -342,14 +346,14 @@ object Bench {
       env: Map[String, String],
       timeoutSec: Long,
       linePrefix: String,
-      trackLevel: Option[Int] = None): Option[String] = {
+      trackLevel: Int = -1): Option[String] = {
     val pb = new ProcessBuilder(cmd)
     pb.redirectError(ProcessBuilder.Redirect.DISCARD)
     env.foreach { case (k, v) => pb.environment().put(k, v) }
     val outFile = java.nio.file.Files.createTempFile("graft_child_out", ".txt")
     pb.redirectOutput(outFile.toFile)
     val proc = pb.start()
-    inFlight = trackLevel.map(c => (outFile, c))
+    inFlight = Some((outFile, linePrefix, trackLevel))
     try {
       if (!proc.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)) {
         proc.destroyForcibly()
@@ -371,12 +375,15 @@ object Bench {
       // grace covers one in-flight unit + JVM/session teardown
       budgetSec + 90,
       "SCALE",
-      trackLevel = Some(cpus)).flatMap(parseScale)
+      trackLevel = cpus).flatMap(parseScale)
 
   private def spawnSkew(budgetSec: Long): Option[String] =
     spawnAndHarvest(
       childCmd("graft.SkewBench", Seq("3000000", "31", "32", "json")),
       Map.empty,
-      math.max(60L, budgetSec),
+      // floor sized for the 9.7M-row fixture under contention (datagen +
+      // cache + warm-up + bucketed run); an overrun is harvested partially
+      // via inFlight, so extending past the nominal budget is acceptable
+      math.max(150L, budgetSec),
       "SKEWJSON").map(_.stripPrefix("SKEWJSON").trim)
 }

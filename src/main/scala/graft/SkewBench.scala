@@ -43,12 +43,23 @@ object SkewBench {
     // max task duration of the jobs run since the last reset (listener bus
     // is async — reads happen after a short drain sleep)
     val maxTaskMs = new java.util.concurrent.atomic.AtomicLong
+    val debug = sys.env.contains("SPARK_GRAFT_SKEW_DEBUG")
+    val stageMax = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
         val d = if (t.taskInfo != null) t.taskInfo.duration else 0L
         var cur = maxTaskMs.get()
         while (d > cur && !maxTaskMs.compareAndSet(cur, d)) cur = maxTaskMs.get()
+        if (debug) stageMax.merge(t.stageId, d, math.max(_, _))
       }
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        if (debug) {
+          val si = sc.stageInfo
+          System.err.println(
+            s"[skewdbg] stage ${si.stageId} tasks=${si.numTasks} " +
+              s"maxTaskMs=${stageMax.getOrDefault(si.stageId, -1L)} ${si.name.take(80)}")
+        }
     })
 
     val span = 1000000L
@@ -69,31 +80,40 @@ object SkewBench {
     val probes = side(7L).withColumnRenamed("v", "pv").cache()
     val total = build.count() + probes.count()
 
-    /** (best wall sec, max task sec across reps) for one plan width. */
+    /** (best wall sec, best-rep max task sec) for one plan width; max task
+      * is reset PER REP so a cold rep-1's JIT-inflated tasks cannot leak
+      * into the reported signal — both metrics are best-of-reps. */
     def run(name: String, width: Long): (Double, Double) = {
       val reps = if (jsonMode) 1 else 2
-      Thread.sleep(300) // drain listener events from previous jobs
-      maxTaskMs.set(0L)
-      val walls = (1 to reps).map { rep =>
+      val measured = (1 to reps).map { rep =>
+        Thread.sleep(300) // drain listener events from previous jobs
+        maxTaskMs.set(0L)
         val t0 = System.nanoTime()
         val n = ops.AsOfJoin
           .asOf(probes, build, "entity", "ts", Seq("v"), width)
           .agg(count(lit(1)), sum(col("v"))).head()
         val sec = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(300) // let this rep's task-end events land
         if (!jsonMode)
           println(f"SKEW $name rep$rep width=$width rows=$total sec=$sec%.2f check=$n")
-        sec
+        (sec, maxTaskMs.get() / 1000.0)
       }
-      Thread.sleep(300) // let the last tasks' end events land
-      (walls.min, maxTaskMs.get() / 1000.0)
+      (measured.map(_._1).min, measured.map(_._2).min)
     }
 
-    // untimed warm-up in json mode: whichever plan runs first would
-    // otherwise absorb session/JIT/codegen warm-up into its timing (the
-    // interactive mode's rep pairs already absorb this via min-of-2)
-    if (jsonMode)
-      ops.AsOfJoin.asOf(probes, build, "entity", "ts", Seq("v"), span / (cpus * 8))
-        .agg(count(lit(1))).head()
+    // untimed warm-up of BOTH plan widths in json mode (each over a 1/8
+    // data slice — the post-shuffle stages codegen identically to the full
+    // plan, so both single-rep measurements start compile-warm; warming
+    // only one width would hand its plan a systematic advantage). The
+    // interactive mode's rep pairs absorb this via best-of-2 instead.
+    if (jsonMode) {
+      val pSlice = probes.where(col("ts") % 8 === 0)
+      val bSlice = build.where(col("ts") % 8 === 0)
+      Seq(span / (cpus * 8), span * 10).foreach { w =>
+        ops.AsOfJoin.asOf(pSlice, bSlice, "entity", "ts", Seq("v"), w)
+          .agg(count(lit(1))).head()
+      }
+    }
     // bucketed (fast) FIRST so a timeout-killed child has already reported
     // the production plan's numbers via the partial line below
     val (bucketed, bucketedMaxTask) = run("bucketed", span / (cpus * 8))

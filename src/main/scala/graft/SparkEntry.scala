@@ -55,6 +55,16 @@ object SparkEntry {
       .select(col("label"), col("win_id"), col("win_n"), vecFixed(col("raw"), 4).as("win_vec"))
   }
 
+  /** Recursive delete (children before parents), stream closed. */
+  private def deleteTree(p: java.nio.file.Path): Unit = {
+    val walk = java.nio.file.Files.walk(p)
+    try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    } finally walk.close()
+  }
+
   private def ev(s: SparkSession, dir: String): DataFrame =
     // ts is TIMESTAMP_NTZ in the parquet; session tz is pinned UTC, so the
     // cast makes unix_micros agree with DuckDB's epoch_us on the naive value.
@@ -504,11 +514,7 @@ object SparkEntry {
         // the checkpoint/stage dirs (round-1 bench leaked both).
         q.stop()
         q.awaitTermination()
-        Seq(ckpt, stage).foreach { p =>
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-            .foreach(f => java.nio.file.Files.deleteIfExists(f))
-        }
+        Seq(ckpt, stage).foreach(deleteTree)
       }
       s.table("q_streaming_tumbling_sink")
         .select(col("user_id"), col("win_start_us"), col("n"),
@@ -549,9 +555,7 @@ object SparkEntry {
             }
           }
         } finally listing.close()
-        import scala.jdk.CollectionConverters._
-        Files.walk(tmp).iterator().asScala.toSeq.reverse
-          .foreach(f => Files.deleteIfExists(f))
+        deleteTree(tmp)
       }
       val ckpt = Files.createTempDirectory("graft_stream_sess_ckpt")
       // scoped shuffle-partition override: stateful streaming cost is
@@ -583,11 +587,7 @@ object SparkEntry {
       } finally {
         q.stop()
         q.awaitTermination()
-        Seq(ckpt, stage).foreach { p =>
-          import scala.jdk.CollectionConverters._
-          Files.walk(p).iterator().asScala.toSeq.reverse
-            .foreach(f => Files.deleteIfExists(f))
-        }
+        Seq(ckpt, stage).foreach(deleteTree)
       }
       s.table("q_streaming_session_sink")
         .where(col("session_start_us") <= maxTsUs) // sentinels (never emitted) guard
