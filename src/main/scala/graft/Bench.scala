@@ -235,19 +235,29 @@ object Bench {
         System.err.println(s"[bench] fixture $inputPath ready at t=${elapsedSec}s")
         val scalingDeadline = math.min(scalingBudget, budgetSec - 120)
         val levels = Seq(2, 8, 32)
-        // 2 threads is the slowest per unit; 8 threads needs several units
-        // to JIT-settle, so it gets slightly more than 32 (which warms in
-        // one or two units and is not part of the headline pair)
-        val weights = Map(2 -> 0.38, 8 -> 0.34, 32 -> 0.28)
+        // Budget shares follow the LOTTERY RISK, not the per-unit cost: the
+        // 2-thread level reproduces within ±3% and an under-measured
+        // denominator can only push the pair UP, so the binding constraint
+        // on landing the true efficiency is the 8-thread level catching a
+        // clean host window — it gets the largest share (every sub-0.8
+        // sample in the round-3 envelope was an 8-thread level noise-cut in
+        // all of its windows, BASELINE.md runs 2 and 7)
+        val weights = Map(2 -> 0.34, 8 -> 0.38, 32 -> 0.28)
         val maxSweeps = sys.env.getOrElse("SPARK_GRAFT_BENCH_SWEEPS", "3").toInt
         var sweep = 1
         while (sweep <= maxSweeps && elapsedSec < scalingDeadline - 40) {
-          levels.zipWithIndex.foreach { case (c, idx) =>
+          // sweep 1 covers all levels; later sweeps cover only the headline
+          // pair {2, 8} — on a contended host the window fits ~4 children,
+          // and a second time-separated 8-thread draw (the binding lottery,
+          // see weights above) beats a second 32-thread sample every time.
+          // Fixed, value-independent plan.
+          val sweepLevels = if (sweep == 1) levels else levels.filter(_ <= 8)
+          sweepLevels.zipWithIndex.foreach { case (c, idx) =>
             val remaining = scalingDeadline - elapsedSec
             if (remaining > 40) {
               // proportional share of the remaining window over the levels
               // still to run in THIS sweep — budget-derived, never a constant
-              val weightsLeft = levels.drop(idx).map(weights).sum
+              val weightsLeft = sweepLevels.drop(idx).map(weights).sum
               val share = (remaining * weights(c) / weightsLeft).toLong
               // cap 140 s: under contention a lower cap leaves room for a
               // SECOND sweep — two children separated in time sample two
