@@ -244,8 +244,16 @@ object Bench {
         // all of its windows, BASELINE.md runs 2 and 7)
         val weights = Map(2 -> 0.34, 8 -> 0.38, 32 -> 0.28)
         val maxSweeps = sys.env.getOrElse("SPARK_GRAFT_BENCH_SWEEPS", "3").toInt
+        // Hard reserve for the later phases (query loop + skew + control):
+        // sweeps of the headline {2, 8} pair may run PAST the scaling
+        // deadline (round-3 directive #1: the third sweep is unconditional)
+        // as long as this floor stays intact — the artifact must always
+        // carry the query timings too.
+        val phaseReserve = 170L
+        val draws = scala.collection.mutable.Map(2 -> 0, 8 -> 0, 32 -> 0)
         var sweep = 1
-        while (sweep <= maxSweeps && elapsedSec < scalingDeadline - 40) {
+        while (sweep <= maxSweeps &&
+          (elapsedSec < scalingDeadline - 40 || draws(2) < maxSweeps || draws(8) < maxSweeps)) {
           // sweep 1 covers all levels; later sweeps cover only the headline
           // pair {2, 8} — on a contended host the window fits ~4 children,
           // and a second time-separated 8-thread draw (the binding lottery,
@@ -254,15 +262,20 @@ object Bench {
           val sweepLevels = if (sweep == 1) levels else levels.filter(_ <= 8)
           sweepLevels.zipWithIndex.foreach { case (c, idx) =>
             val remaining = scalingDeadline - elapsedSec
-            if (remaining > 40) {
+            val hardLeft = budgetSec - elapsedSec - phaseReserve
+            // a {2,8} draw below its quota runs even past the soft deadline
+            // (floor budget 45 s) — but never into the phase reserve
+            val mustRun = c <= 8 && draws(c) < maxSweeps
+            if ((remaining > 40 || mustRun) && hardLeft > 45) {
               // proportional share of the remaining window over the levels
               // still to run in THIS sweep — budget-derived, never a constant
               val weightsLeft = sweepLevels.drop(idx).map(weights).sum
-              val share = (remaining * weights(c) / weightsLeft).toLong
+              val share = (math.max(remaining, 0L) * weights(c) / weightsLeft).toLong
               // cap 140 s: under contention a lower cap leaves room for a
-              // SECOND sweep — two children separated in time sample two
+              // later sweep — two children separated in time sample two
               // host-noise windows, which beats one long child stuck in one
-              val childBudget = math.max(45L, math.min(share, math.min(140L, remaining)))
+              val childBudget =
+                math.max(45L, Seq(math.max(share, 45L), 140L, hardLeft).min)
               spawnChild(c, inputPath, childBudget) match {
                 case Some(r) =>
                   System.err.println(
@@ -272,6 +285,7 @@ object Bench {
                 case None =>
                   System.err.println(s"[scale] sweep$sweep cpus=$c produced no SCALE line (budget ${childBudget}s)")
               }
+              draws(c) += 1
             }
           }
           sweep += 1
@@ -389,11 +403,15 @@ object Bench {
 
   private def spawnSkew(budgetSec: Long): Option[String] =
     spawnAndHarvest(
-      childCmd("graft.SkewBench", Seq("3000000", "31", "32", "json")),
+      // 1M hot rows ⇒ 3.24M total — round-3 directive #3: the 9.7M fixture
+      // ate ~98 s/plan on a contended host; a third of it still separates
+      // the plans (the signal is max-task RATIO, not volume) and fits any
+      // budget window
+      childCmd("graft.SkewBench", Seq("1000000", "31", "32", "json")),
       Map.empty,
-      // floor sized for the 9.7M-row fixture under contention (datagen +
-      // cache + warm-up + bucketed run); an overrun is harvested partially
-      // via inFlight, so extending past the nominal budget is acceptable
+      // floor sized for datagen + cache + warm-up + both plans under
+      // contention; an overrun is harvested partially via inFlight, so
+      // extending past the nominal budget is acceptable
       math.max(150L, budgetSec),
       "SKEWJSON").map(_.stripPrefix("SKEWJSON").trim)
 }

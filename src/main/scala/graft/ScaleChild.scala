@@ -26,13 +26,16 @@ object ScaleChild {
     val budgetSec =
       if (args.length > 2) args(2).toLong
       else sys.env.getOrElse("SPARK_GRAFT_CHILD_BUDGET_SEC", "120").toLong
-    // more draws at 8/32 threads (units are ~4s there, and the pair
-    // efficiency is only as good as the fast level's best clean window);
-    // 2-thread units are ~7s and that level reproduces within ±3%
+    // more draws at 8/32 threads (and the pair efficiency is only as good
+    // as the fast level's best clean window); 2-thread units are ~7s and
+    // that level reproduces within ±3%. 8-thread units are 6 chunks (~6s
+    // quiet, round-4 directive: was 4/~4s) so each draw spans more
+    // host-noise windows — every sub-0.8 sample in the round-3 envelope was
+    // an 8-thread level noise-cut in ALL of its windows.
     val maxUnits = sys.env.get("SPARK_GRAFT_CHILD_MAX_UNITS").map(_.toInt)
       .getOrElse(if (cpus <= 2) 12 else 18)
     val unitChunks = sys.env.get("SPARK_GRAFT_CHILD_UNIT_CHUNKS").map(_.toInt).getOrElse(
-      if (cpus <= 2) 2 else if (cpus <= 8) 4 else Bench.NChunks)
+      if (cpus <= 2) 2 else if (cpus <= 8) 6 else Bench.NChunks)
     def elapsed: Double = (System.nanoTime() - t0) / 1e9
     val spark = Bench.session(cpus)
     try {

@@ -118,15 +118,20 @@ object SkewBench {
     // the production plan's numbers via the partial line below
     val (bucketed, bucketedMaxTask) = run("bucketed", span / (cpus * 8))
     if (jsonMode) {
-      println(f"""SKEWJSON {"rows":$total,"bucketed_sec":$bucketed%.2f,"bucketed_max_task_sec":$bucketedMaxTask%.2f}""")
+      println(f"""SKEWJSON {"rows":$total,"bucketed_max_task_sec":$bucketedMaxTask%.2f,"bucketed_sec":$bucketed%.2f}""")
       System.out.flush()
     }
     val (naive, naiveMaxTask) = run("naive_1_bucket", span * 10) // whole entity in one task
+    // max_task_ratio LEADS (round-3 directive #3): it is the
+    // contention-robust skew signal — how big a task each plan schedules —
+    // while the wall pair can invert under host load (the naive plan uses
+    // ~1 core, the bucketed plan wants all of them).
     if (jsonMode)
       println(
-        f"""SKEWJSON {"rows":$total,"naive_sec":$naive%.2f,"bucketed_sec":$bucketed%.2f,""" +
+        f"""SKEWJSON {"rows":$total,"max_task_ratio":${naiveMaxTask / math.max(bucketedMaxTask, 0.001)}%.1f,""" +
           f""""naive_max_task_sec":$naiveMaxTask%.2f,"bucketed_max_task_sec":$bucketedMaxTask%.2f,""" +
-          f""""speedup":${naive / bucketed}%.2f,"max_task_ratio":${naiveMaxTask / math.max(bucketedMaxTask, 0.001)}%.1f}""")
+          f""""naive_sec":$naive%.2f,"bucketed_sec":$bucketed%.2f,""" +
+          f""""speedup":${naive / bucketed}%.2f}""")
     else
       println(f"SKEW max_task naive=$naiveMaxTask%.2f s bucketed=$bucketedMaxTask%.2f s ratio=${naiveMaxTask / math.max(bucketedMaxTask, 0.001)}%.1f")
     spark.stop()

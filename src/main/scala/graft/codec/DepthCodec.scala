@@ -125,11 +125,16 @@ object DepthCodec {
       .partitionBy("__part")
       .parquet(outDir)
     // O(partitions) driver list of what this call wrote, then a
-    // directory-pruned count over exactly those partitions.
+    // directory-pruned count over exactly those partitions. The read-back
+    // goes through Resume.readStringParts (partition-column type inference
+    // OFF) and compares __part as the raw directory string: an inference-ON
+    // read would re-type e.g. a "0001" entity directory to int 1, silently
+    // counting 0 rows after a successful write (round-3 advice — the exact
+    // failure mode readStringParts was introduced to fix).
     val wrote = df.select(col(entityCol).cast("string")).distinct()
       .collect().map(_.getString(0))
-    df.sparkSession.read.parquet(outDir)
-      .where(col("__part").cast("string").isin(wrote.toSeq: _*))
+    graft.ops.Resume.readStringParts(df.sparkSession, outDir)
+      .where(col("__part").isin(wrote.toSeq: _*))
       .count()
   }
 }

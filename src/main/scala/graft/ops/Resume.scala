@@ -38,21 +38,47 @@ object Resume {
 
   private def manifestPath(outDir: String) = s"$outDir/_manifest"
 
-  /** Read `<out>/data` with partition-column type inference OFF, so `__part`
-    * comes back as the exact directory string for ANY partition value.
-    * Inference would re-type e.g. a zero-padded "0001" directory to int 1,
-    * making every string-compared prune silently match zero rows (manifest
-    * rows written with empty stats, time travel returning nothing). */
-  private def readDataStringParts(spark: SparkSession, outDir: String): DataFrame = {
+  /** Read a `__part`-partitioned parquet tree with partition-column type
+    * inference OFF, so `__part` comes back as the exact directory string for
+    * ANY partition value. Inference would re-type e.g. a zero-padded "0001"
+    * directory to int 1, making every string-compared prune silently match
+    * zero rows (manifest rows written with empty stats, time travel
+    * returning nothing). Shared by every sink that reads back what it wrote
+    * (`graft.codec.DepthCodec.writeDepth` had re-grown the inference-ON
+    * variant of this bug — round-3 advice). */
+  private[graft] def readStringParts(spark: SparkSession, path: String): DataFrame = {
     val key = "spark.sql.sources.partitionColumnTypeInference.enabled"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "false")
-    try spark.read.parquet(s"$outDir/data")
+    try spark.read.parquet(path)
     finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None    => spark.conf.unset(key)
     }
   }
+
+  private def readDataStringParts(spark: SparkSession, outDir: String): DataFrame =
+    readStringParts(spark, s"$outDir/data")
+
+  /** Filter `df` to rows whose `colName` is one of `values`: literal In-list
+    * when small (prunable, no extra plan nodes), broadcast left-semi join
+    * when large — an In-list over 10^5 partitions bloats the analyzed plan
+    * and driver memory (every expression copy carries the whole list). */
+  private def filterToValues(
+      df: DataFrame,
+      colName: String,
+      values: Seq[Any],
+      dataType: org.apache.spark.sql.types.DataType): DataFrame =
+    if (values.length <= 1000) df.where(col(colName).isin(values: _*))
+    else {
+      val spark = df.sparkSession
+      val valuesDf = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          values.map(v => org.apache.spark.sql.Row(v)).asJava),
+        org.apache.spark.sql.types.StructType(
+          Seq(org.apache.spark.sql.types.StructField(colName, dataType))))
+      df.join(broadcast(valuesDf), Seq(colName), "left_semi")
+    }
 
   /** Read the manifest (empty DataFrame with the right schema if absent). */
   def readManifest(spark: SparkSession, outDir: String): DataFrame = {
@@ -98,22 +124,8 @@ object Resume {
       .map(_.get(0))
     if (todoParts.isEmpty) return 0L
 
-    // Small pending sets filter with a literal In-list (prunable, no extra
-    // plan nodes); large ones switch to a broadcast left-semi join — an
-    // In-list over 10^5 partitions would bloat the analyzed plan and driver
-    // memory (every expression copy carries the whole list).
-    val work =
-      if (todoParts.length <= 1000)
-        features.where(col(partitionCol).isin(todoParts: _*))
-      else {
-        val partType = features.schema(partitionCol).dataType
-        val todoDf = spark.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](
-            todoParts.map(v => org.apache.spark.sql.Row(v)).toSeq.asJava),
-          org.apache.spark.sql.types.StructType(
-            Seq(org.apache.spark.sql.types.StructField(partitionCol, partType))))
-        features.join(broadcast(todoDf), Seq(partitionCol), "left_semi")
-      }
+    val work = filterToValues(
+      features, partitionCol, todoParts.toSeq, features.schema(partitionCol).dataType)
     // DYNAMIC partition overwrite, not append: a crashed prior attempt may
     // have left this partition's data files without a manifest row; an
     // append would double the rows and the read-back below would then
@@ -123,6 +135,13 @@ object Resume {
     // retry idempotent.
     work
       .withColumn("__part", col(partitionCol))
+      // compact the layout before the partitioned write: without this every
+      // upstream task writes its own file into every partition directory it
+      // touches (tasks × partitions small files — footer/task overhead on
+      // every later read). Hashing on (__part, salt) bounds the fan-in to
+      // ≤8 files per partition while a hot partition still spreads over 8
+      // writer tasks instead of collapsing onto one.
+      .repartition(col("__part"), pmod(xxhash64(col(tsCol)), lit(8)))
       .write
       .mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
@@ -139,10 +158,13 @@ object Resume {
     // Filter on the __part DIRECTORY column so the read-back partition-prunes
     // to the just-written directories (a semi-join on the data column would
     // rescan every historical partition's vectors). Inference-free read ⇒
-    // the string compare is type-stable for any partition value; the In-list
-    // here is bounded by maxPartitions (the per-invocation work cap).
-    val written = readDataStringParts(spark, outDir)
-      .where(col("__part").isin(todoParts.map(_.toString): _*))
+    // the string compare is type-stable for any partition value; past 1000
+    // partitions the filter switches to the same broadcast semi-join as the
+    // work filter (maxPartitions defaults to unbounded, so a 10^5-partition
+    // invocation must not rebuild the In-list here — round-3 advice).
+    val written = filterToValues(
+      readDataStringParts(spark, outDir), "__part",
+      todoParts.map(_.toString).toSeq, org.apache.spark.sql.types.StringType)
     val inputs = written
       .withColumn("__file", input_file_name())
       .withColumn(DigestTmp, rowDigest(col(partitionCol), col(tsCol), col(vecCol)))
@@ -154,7 +176,10 @@ object Resume {
       .withColumn("snapshotId", lit(snapshotId))
       .withColumn("completedAt", lit(snapshotId)) // deterministic stamp: snapshot id
       .select("snapshotId", "partition", "inputFiles", "rowCount", "featureDigest", "completedAt")
-    inputs.write.mode(SaveMode.Append).parquet(manifestPath(outDir))
+    // coalesce(1): the manifest delta is O(partitions-this-call) tiny rows;
+    // without it every shuffle partition emits its own (mostly empty)
+    // manifest file and the read-back pays per-file footer+task cost.
+    inputs.coalesce(1).write.mode(SaveMode.Append).parquet(manifestPath(outDir))
     writeSnapshot(spark, outDir, snapshotId)
     todoParts.length.toLong
   }
@@ -188,6 +213,42 @@ object Resume {
       .map(_.get(0).toString)
     readDataStringParts(spark, outDir)
       .where(col("__part").isin(parts.toSeq: _*))
+  }
+
+  /** Full per-partition audit report in ONE data pass: manifest lineage
+    * stats joined with a recount+redigest of the persisted data —
+    * `(partition, rowCount, recount, audit_ok)` for every partition seen on
+    * either side. [[audit]] is the mismatches-only view; callers that need
+    * both the recount and the health flag (q_resume_audit previously ran
+    * readAsOf + audit = two extra full data scans) use this directly. */
+  def auditReport(
+      spark: SparkSession,
+      outDir: String,
+      partitionCol: String,
+      tsCol: String,
+      vecCol: String): DataFrame = {
+    val manifest = readManifest(spark, outDir)
+    // The inference-free read makes the data-side key a STRING; cast it to
+    // the manifest's native partition type before joining — a string=long
+    // join would coerce BOTH sides to double and collapse distinct 64-bit
+    // ids >= 2^53 (e.g. xxhash64-derived partitions) onto each other.
+    val partType = manifest.schema("partition").dataType
+    val recomputed = readDataStringParts(spark, outDir)
+      .withColumn("partition", col("__part").cast(partType))
+      .withColumn(DigestTmp, rowDigest(col(partitionCol), col(tsCol), col(vecCol)))
+      .groupBy("partition")
+      .agg(
+        count(lit(1)).as("recount"),
+        expr(s"bit_xor(${DigestTmp})").as("fd2"))
+    manifest
+      .join(recomputed, Seq("partition"), "full_outer")
+      .select(
+        col("partition"),
+        col("rowCount"),
+        col("recount"),
+        (col("rowCount").isNotNull && col("recount").isNotNull &&
+          col("rowCount") === col("recount") &&
+          col("featureDigest") === col("fd2")).as("audit_ok"))
   }
 
   /** Audit: recompute row counts + digests from the written data and compare

@@ -5,7 +5,6 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.feats.VecOps
-import graft.synth.SynthImages
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
@@ -16,8 +15,8 @@ import graft.synth.SynthImages
   * flip ranks between engines.
   *
   * [[annLsh]] is the scale path: L=16 deterministic random-hyperplane hash
-  * tables of B=6 sign bits each (hyperplanes derived from the seed, no
-  * stored model) bucket the corpus; a corpus row is a candidate iff it
+  * tables of B=6 sign bits each (hyperplanes derived from md5(p:d) — no
+  * stored model, and SQL-reproducible, see q_ann_recall) bucket the corpus; a corpus row is a candidate iff it
   * shares any table's bucket with the query, and only candidates are
   * scored. Shuffle is one hash exchange on (table, bucket) instead of a
   * corpus-wide cross product; recall/cost is tunable via L × B.
@@ -31,9 +30,26 @@ object Similarity {
   val Tables = 16
   val BitsPerTable = 6
 
-  /** Deterministic ±1 "hyperplane" entry for (plane p, dim d). */
-  private def sgn(p: Int, d: Int): Double =
-    if ((SynthImages.mix(p.toLong, d.toLong, 131L) & 1L) == 0L) 1.0 else -1.0
+  /** Deterministic ±1 "hyperplane" entry for (plane p, dim d): parity of
+    * the first nibble of md5("p:d"). md5 exists bit-identically in Spark
+    * and DuckDB, so the WHOLE LSH pipeline — sign matrix → projections →
+    * bucket signatures → candidate join → recall vs brute — is
+    * re-computable by the SQL oracle (q_ann_recall), closing the
+    * "approximate ⇒ rows-only" blind spot. */
+  private[sim] def sgn(p: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(s"$p:$d".getBytes("UTF-8"))
+    if (((h(0) >> 4) & 1) == 0) 1.0 else -1.0
+  }
+
+  /** Sign matrix cache per dim (96 × dim md5 calls, computed once per
+    * executor — a model-free "model"). */
+  private val signCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Double]]]()
+  private def signMatrix(dim: Int): Array[Array[Double]] =
+    signCache.computeIfAbsent(
+      dim,
+      d => Array.tabulate(Tables * BitsPerTable, d)((p, dd) => sgn(p, dd)))
 
   /** All L B-bit signatures in one pass: sig(t) bit j =
     * [ sum_d sgn(t*B+j, d) * v_d > 0 ]. One compact UDF (a 96×dim sign
@@ -43,14 +59,16 @@ object Similarity {
     if (vec == null) null
     else {
       val dim = vec.length
+      val m = signMatrix(dim)
       (0 until Tables).map { t =>
         var sig = 0
         var j = 0
         while (j < BitsPerTable) {
           val p = t * BitsPerTable + j
+          val row = m(p)
           var proj = 0.0
           var d = 0
-          while (d < dim) { proj += vec(d) * sgn(p, d); d += 1 }
+          while (d < dim) { proj += vec(d) * row(d); d += 1 }
           if (proj > 0) sig |= (1 << j)
           j += 1
         }

@@ -179,6 +179,28 @@ object SynthImages {
       .toDF()
   }
 
+  /** Metadata-only projection of [[table]]: the identical (entity, ts,
+    * caption) grid WITHOUT the pixel encode — exported to parquet by
+    * q_image_meta so the DuckDB oracle can hash-check the flagship's
+    * SQL-expressible half (caption LOCF, sessionization, as-of probe join)
+    * over byte-identical input. */
+  def metaTable(spark: SparkSession, entities: Int, framesPerEntity: Int): DataFrame = {
+    import spark.implicits._
+    spark
+      .range(0L, entities.toLong * framesPerEntity, 1L,
+        math.min(spark.sparkContext.defaultParallelism * 2, entities * framesPerEntity))
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val entity = (id / framesPerEntity).toInt
+          val ts = id % framesPerEntity
+          if (framePresent(entity, ts, framesPerEntity))
+            Iterator.single((f"e$entity%04d", ts, captionAt(entity, ts)))
+          else Iterator.empty
+        }
+      }
+      .toDF("entity", "ts", "caption")
+  }
+
   /** Derive (entity, ts) from image_id exactly like the reference parses
     * filenames (`frame_features/extract_features.py:51`,
     * `generate_frame_features.py:136`). */
