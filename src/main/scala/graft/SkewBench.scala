@@ -9,15 +9,21 @@ import org.apache.spark.sql.functions._
   * production width spreads the hot entity over span/width tasks. Results
   * land in BASELINE.md.
   *
-  * Two metrics per plan:
+  * Three metrics per plan, most robust first:
+  *  - merge-stage max-task ROWS (headline `max_task_ratio`) — rows pulled
+  *    over the exchange by the biggest task of the per-(entity, bucket)
+  *    merge stage. A property of the PLAN: bit-reproducible under any host
+  *    weather, and exactly what a Spark-UI skew diagnosis reads. The naive
+  *    plan's hot task carries the whole hot entity; the bucketed plan's
+  *    biggest task carries ~total/partitions.
+  *  - max single-task seconds (merge stage + any stage) — the same signal
+  *    in time; mostly contention-robust but an OS descheduling window can
+  *    inflate any one task on a loaded host (round-3/4 observation: global
+  *    max-task saturates at the straggler floor under load >5).
   *  - wall seconds — the end-to-end win, but contention-SENSITIVE: the
   *    naive plan uses ~1 core, so background host load barely touches it,
   *    while the bucketed plan wants every core; under heavy external load
-  *    the wall ratio can invert even though the plans haven't changed;
-  *  - max single-task seconds — the skew signal itself (how big is the
-  *    biggest task each plan schedules), contention-ROBUST: load factors
-  *    hit both plans' tasks alike, and the naive plan's hot task stays
-  *    ~(span/width)× larger no matter the host weather.
+  *    the wall ratio can invert even though the plans haven't changed.
   *
   * Run: `runMain graft.SkewBench [hotRows] [coldEntities] [cpus] [json]` —
   * with `json`, one rep per plan and machine-readable `SKEWJSON {...}`
@@ -33,44 +39,89 @@ object SkewBench {
     val jsonMode = args.contains("json")
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus.toString)
+      // 4× cores: max-task is the metric here, and the uniform stages' task
+      // size is the FLOOR it is compared against — at cores-many partitions
+      // a uniform task carries total/cores rows and the floor swallows the
+      // hot-task signal at demo volume. Over-partitioning is also the
+      // production advice (smaller tasks smooth stragglers); the hot KEY
+      // still cannot split, which is exactly what the naive plan shows.
+      .config("spark.sql.shuffle.partitions", (cpus * 4).toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE partition coalescing is BYTE-targeted: at demo volume every
+      // bucket is far under the 64 MB advisory size, so coalescing merges
+      // the spread buckets back into few fat tasks — un-doing the very
+      // topology being measured. At production volume (10^12 rows) each
+      // bucket exceeds the advisory size and coalescing is a non-factor,
+      // so disabling it here makes the demo reflect the production plan.
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // max task duration of the jobs run since the last reset (listener bus
-    // is async — reads happen after a short drain sleep)
-    val maxTaskMs = new java.util.concurrent.atomic.AtomicLong
+    // Per-stage (numTasks, max task ms) of the jobs run since the last
+    // reset (listener bus is async — reads happen after a short drain
+    // sleep). Two max-task views per rep:
+    //  - MERGE-STAGE max task: the highest-id stage with ≥2 tasks — in this
+    //    plan that is deterministically the per-(entity, bucket) window/
+    //    merge stage, the stage whose biggest task IS the skew signal (the
+    //    only later stage is the single-task final agg);
+    //  - ANY-STAGE max task: global, kept for transparency — under heavy
+    //    external load any 300-task prep stage draws straggler tasks that
+    //    have nothing to do with key skew, so the global max saturates at
+    //    the straggler floor and the ratio compresses toward 1.
     val debug = sys.env.contains("SPARK_GRAFT_SKEW_DEBUG")
     val stageMax = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    val stageMaxRows = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    val stageTasks = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
+    def resetStages(): Unit = { stageMax.clear(); stageMaxRows.clear(); stageTasks.clear() }
+    def mergeStageId: Option[Int] = {
+      import scala.jdk.CollectionConverters._
+      stageMax.asScala.keys.toSeq
+        .filter(id => stageTasks.getOrDefault(id, 1) >= 2)
+        .sorted(Ordering.Int.reverse)
+        .headOption
+    }
+    def mergeStageMaxMs: Long = mergeStageId.map(stageMax.getOrDefault(_, 0L)).getOrElse(0L)
+    def mergeStageMaxRows: Long = mergeStageId.map(stageMaxRows.getOrDefault(_, 0L)).getOrElse(0L)
+    def anyStageMaxMs: Long = {
+      import scala.jdk.CollectionConverters._
+      stageMax.asScala.values.foldLeft(0L)(math.max)
+    }
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
         val d = if (t.taskInfo != null) t.taskInfo.duration else 0L
-        var cur = maxTaskMs.get()
-        while (d > cur && !maxTaskMs.compareAndSet(cur, d)) cur = maxTaskMs.get()
-        if (debug) stageMax.merge(t.stageId, d, math.max(_, _))
+        stageMax.merge(t.stageId, d, math.max(_, _))
+        // rows the task PULLED over the exchange — the deterministic size of
+        // the task, untouched by host weather (see the metric notes below)
+        val rows =
+          if (t.taskMetrics != null) t.taskMetrics.shuffleReadMetrics.recordsRead else 0L
+        stageMaxRows.merge(t.stageId, rows, math.max(_, _))
       }
       override def onStageCompleted(
-          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
-        if (debug) {
-          val si = sc.stageInfo
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        stageTasks.put(si.stageId, si.numTasks)
+        if (debug)
           System.err.println(
             s"[skewdbg] stage ${si.stageId} tasks=${si.numTasks} " +
-              s"maxTaskMs=${stageMax.getOrDefault(si.stageId, -1L)} ${si.name.take(80)}")
-        }
+              s"maxTaskMs=${stageMax.getOrDefault(si.stageId, -1L)} " +
+              s"maxTaskRows=${stageMaxRows.getOrDefault(si.stageId, -1L)} ${si.name.take(80)}")
+      }
     })
 
     val span = 1000000L
-    val coldRows = hotRows / 50
-    // hot entity: 80%+ of all rows, dense over the span; cold: sparse
+    val coldRows = hotRows / 200
+    // hot entity: ~87% of all rows, dense over the span; cold: sparse.
+    // Inputs carry cores×8 partitions so the shared prep stages (dedupe
+    // groupBy + exchange write) run ~12k-row tasks — they must not be the
+    // max-task floor the naive plan's hot task is compared against.
     def side(seed: Long) = {
-      val hot = spark.range(hotRows).select(
+      val hot = spark.range(0L, hotRows, 1L, cpus * 8).select(
         lit("hot").as("entity"),
         (col("id") * span / hotRows + seed % 17).as("ts"),
         (col("id") % 1000).cast("double").as("v"))
-      val cold = spark.range(coldEntities.toLong * coldRows).select(
+      val cold = spark.range(0L, coldEntities.toLong * coldRows, 1L, cpus * 2).select(
         concat(lit("c"), (col("id") % coldEntities)).as("entity"),
         (col("id") * span / (coldEntities.toLong * coldRows) + seed % 13).as("ts"),
         (col("id") % 997).cast("double").as("v"))
@@ -80,14 +131,17 @@ object SkewBench {
     val probes = side(7L).withColumnRenamed("v", "pv").cache()
     val total = build.count() + probes.count()
 
-    /** (best wall sec, best-rep max task sec) for one plan width; max task
-      * is reset PER REP so a cold rep-1's JIT-inflated tasks cannot leak
-      * into the reported signal — both metrics are best-of-reps. */
-    def run(name: String, width: Long): (Double, Double) = {
+    /** One plan width → (best wall sec, merge-stage max-task ROWS,
+      * best-rep merge-stage max task sec, best-rep any-stage max task sec);
+      * stage stats reset PER REP so a cold rep-1's JIT-inflated tasks
+      * cannot leak into the reported signal — time metrics are
+      * best-of-reps, the rows metric is identical across reps (it is a
+      * property of the PLAN, not of the run). */
+    def run(name: String, width: Long): (Double, Long, Double, Double) = {
       val reps = if (jsonMode) 1 else 2
       val measured = (1 to reps).map { rep =>
         Thread.sleep(300) // drain listener events from previous jobs
-        maxTaskMs.set(0L)
+        resetStages()
         val t0 = System.nanoTime()
         val n = ops.AsOfJoin
           .asOf(probes, build, "entity", "ts", Seq("v"), width)
@@ -96,9 +150,10 @@ object SkewBench {
         Thread.sleep(300) // let this rep's task-end events land
         if (!jsonMode)
           println(f"SKEW $name rep$rep width=$width rows=$total sec=$sec%.2f check=$n")
-        (sec, maxTaskMs.get() / 1000.0)
+        (sec, mergeStageMaxRows, mergeStageMaxMs / 1000.0, anyStageMaxMs / 1000.0)
       }
-      (measured.map(_._1).min, measured.map(_._2).min)
+      (measured.map(_._1).min, measured.map(_._2).max,
+        measured.map(_._3).min, measured.map(_._4).min)
     }
 
     // untimed warm-up of BOTH plan widths in json mode (each over a 1/8
@@ -116,24 +171,37 @@ object SkewBench {
     }
     // bucketed (fast) FIRST so a timeout-killed child has already reported
     // the production plan's numbers via the partial line below
-    val (bucketed, bucketedMaxTask) = run("bucketed", span / (cpus * 8))
+    val (bucketed, bucketedMaxRows, bucketedMaxTask, bucketedAnyMax) =
+      run("bucketed", span / (cpus * 8))
     if (jsonMode) {
-      println(f"""SKEWJSON {"rows":$total,"bucketed_max_task_sec":$bucketedMaxTask%.2f,"bucketed_sec":$bucketed%.2f}""")
+      println(
+        f"""SKEWJSON {"rows":$total,"bucketed_max_task_rows":$bucketedMaxRows,""" +
+          f""""bucketed_max_task_sec":$bucketedMaxTask%.2f,"bucketed_sec":$bucketed%.2f}""")
       System.out.flush()
     }
-    val (naive, naiveMaxTask) = run("naive_1_bucket", span * 10) // whole entity in one task
-    // max_task_ratio LEADS (round-3 directive #3): it is the
-    // contention-robust skew signal — how big a task each plan schedules —
-    // while the wall pair can invert under host load (the naive plan uses
-    // ~1 core, the bucketed plan wants all of them).
+    val (naive, naiveMaxRows, naiveMaxTask, naiveAnyMax) =
+      run("naive_1_bucket", span * 10) // whole entity in one task
+    // max_task_ratio LEADS (round-3 directive #3) and is measured in ROWS
+    // PULLED by the biggest merge-stage task: how big a task each plan
+    // schedules for the hot key. Rows are a property of the PLAN — bit-
+    // reproducible under any host weather — unlike task seconds (an OS
+    // descheduling window inflates any one task) or the wall pair (the
+    // naive plan uses ~1 core, the bucketed plan wants all of them, so
+    // background load can invert the wall ratio). Both time views are
+    // reported alongside for transparency.
     if (jsonMode)
       println(
-        f"""SKEWJSON {"rows":$total,"max_task_ratio":${naiveMaxTask / math.max(bucketedMaxTask, 0.001)}%.1f,""" +
+        f"""SKEWJSON {"rows":$total,"max_task_ratio":${naiveMaxRows.toDouble / math.max(bucketedMaxRows, 1L)}%.1f,""" +
+          f""""naive_max_task_rows":$naiveMaxRows,"bucketed_max_task_rows":$bucketedMaxRows,""" +
           f""""naive_max_task_sec":$naiveMaxTask%.2f,"bucketed_max_task_sec":$bucketedMaxTask%.2f,""" +
+          f""""naive_any_stage_max_sec":$naiveAnyMax%.2f,"bucketed_any_stage_max_sec":$bucketedAnyMax%.2f,""" +
           f""""naive_sec":$naive%.2f,"bucketed_sec":$bucketed%.2f,""" +
           f""""speedup":${naive / bucketed}%.2f}""")
     else
-      println(f"SKEW max_task naive=$naiveMaxTask%.2f s bucketed=$bucketedMaxTask%.2f s ratio=${naiveMaxTask / math.max(bucketedMaxTask, 0.001)}%.1f")
+      println(
+        f"SKEW max_task naive=$naiveMaxRows rows/$naiveMaxTask%.2f s " +
+          f"bucketed=$bucketedMaxRows rows/$bucketedMaxTask%.2f s " +
+          f"rows_ratio=${naiveMaxRows.toDouble / math.max(bucketedMaxRows, 1L)}%.1f")
     spark.stop()
   }
 }
