@@ -33,7 +33,7 @@ object ScaleChild {
     // host-noise windows — every sub-0.8 sample in the round-3 envelope was
     // an 8-thread level noise-cut in ALL of its windows.
     val maxUnits = sys.env.get("SPARK_GRAFT_CHILD_MAX_UNITS").map(_.toInt)
-      .getOrElse(if (cpus <= 2) 12 else 18)
+      .getOrElse(if (cpus <= 2) 12 else 24)
     val unitChunks = sys.env.get("SPARK_GRAFT_CHILD_UNIT_CHUNKS").map(_.toInt).getOrElse(
       if (cpus <= 2) 2 else if (cpus <= 8) 6 else Bench.NChunks)
     def elapsed: Double = (System.nanoTime() - t0) / 1e9
