@@ -311,6 +311,20 @@ object Bench {
           }
           sweep += 1
         }
+        // Tail 2-thread draw: a third time-separated DENOMINATOR sample
+        // (45 s is plenty — the 2-thread level settles within ~5 units).
+        // Without it the quota asymmetry (3 deep 8-thread draws vs 2
+        // 2-thread ones) lets a run whose 2-thread windows were all
+        // noise-cut record a pair above its true value (round-4 run 5:
+        // 1.038) — noise on the denominator inflates the pair just as
+        // dishonestly as noise on the numerator deflates it.
+        if (draws(2) < 3 && budgetSec - elapsedSec - phaseReserve > 45) {
+          spawnChild(2, inputPath, 45L).foreach { r =>
+            System.err.println(
+              f"[scale] tail cpus=2 rows=${r._1} best_rps=${r._2}%.1f (budget 45s)")
+            recordLevel(2, r._1, r._2)
+          }
+        }
       } catch {
         case e: Throwable => System.err.println(s"[bench] scaling failed: ${e.getMessage}")
       }
