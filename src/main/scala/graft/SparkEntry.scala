@@ -139,6 +139,26 @@ object SparkEntry {
           col(AsOfJoin.SrcTs).as("click_ts_us"),
           round(col("click_value"), 4).as("click_value"))
     }),
+    // as-of with a staleness bound (1 h): matches older than the tolerance
+    // are dropped to null — the "latest reading unless too stale" form
+    // every PIT feature store needs (round-4 widening)
+    "q_asof_tolerance" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val probes = e
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"), col("event_id"))
+      val build = e
+        .filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us"), col("value").as("click_value"))
+      AsOfJoin
+        .asOfWithin(probes, build, "user_id", "ts_us", Seq("click_value"), AsOfBucketUs, HourUs)
+        .select(
+          col("user_id"),
+          col("ts_us"),
+          col("event_id"),
+          col(AsOfJoin.SrcTs).as("click_ts_us"),
+          round(col("click_value"), 4).as("click_value"))
+    }),
     // ---- north-rule leakage audit over the as-of join OUTPUT: one scan,
     //      pure column predicate — n_leaked must be 0, max_lead null ----
     "q_leakage_audit" -> ((s, dir) => {
@@ -253,6 +273,30 @@ object SparkEntry {
           col("event_id"),
           col("ts_us"),
           round(col("sliding_avg"), 4).as("sliding_avg"))
+    }),
+    // ---- W3 range twin: trailing 1-hour TIME-RANGE mean (round-4) ----
+    "q_range_window" -> ((s, dir) => {
+      Windows
+        .trailingRangeMean(ev(s, dir), "user_id", "ts_us", "value", HourUs, "range_avg")
+        .select(
+          col("user_id"),
+          col("event_id"),
+          col("ts_us"),
+          round(col("range_avg"), 4).as("range_avg"))
+    }),
+    // ---- W8 mirror: NOCB backward fill (label construction; reads the
+    //      future by definition — never a feature input, see Backfill.nocb) ----
+    "q_bfill" -> ((s, dir) => {
+      val e = ev(s, dir).withColumn(
+        "sparse_value",
+        when(col("event_type") === "purchase", col("value")))
+      Backfill
+        .nocb(e, "user_id", "ts_us", Seq("sparse_value"), Seq("event_id"))
+        .select(
+          col("user_id"),
+          col("event_id"),
+          col("ts_us"),
+          round(col("sparse_value_bfilled"), 4).as("bfill_value"))
     }),
     // ---- W5: uniform temporal subsample, k=4 per (user, day) ----
     "q_subsample" -> ((s, dir) => {
@@ -768,6 +812,27 @@ object SparkEntry {
     Map(
       "q_asof_join" -> asofSql,
       "q_asof_merge" -> asofSql,
+      "q_asof_tolerance" ->
+        """SELECT p.user_id AS user_id, epoch_us(p.ts) AS ts_us, p.event_id AS event_id,
+          |  CASE WHEN epoch_us(p.ts) - epoch_us(b.ts) <= 3600000000
+          |       THEN epoch_us(b.ts) END AS click_ts_us,
+          |  CASE WHEN epoch_us(p.ts) - epoch_us(b.ts) <= 3600000000
+          |       THEN round(b.value, 4) END AS click_value
+          |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+          |ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS value FROM events
+          |                WHERE event_type = 'click' GROUP BY user_id, ts) b
+          |  ON p.user_id = b.user_id AND p.ts >= b.ts""".stripMargin,
+      "q_range_window" ->
+        """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+          |  round(avg(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+          |        RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 4) AS range_avg
+          |FROM events""".stripMargin,
+      "q_bfill" ->
+        """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+          |  round(first_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+          |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 4) AS bfill_value
+          |FROM events""".stripMargin,
       "q_leakage_audit" ->
         """WITH j AS (
           |  SELECT p.ts_us AS ts_us, b.src_ts AS src_ts FROM

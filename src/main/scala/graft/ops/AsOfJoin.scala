@@ -147,6 +147,30 @@ object AsOfJoin {
       .select(probeCols ++ (col(s"__m.$SrcTs").as(SrcTs) +: payCols): _*)
   }
 
+  /** As-of join with a STALENESS BOUND: identical to [[asOf]] but a match
+    * older than `tolerance` time units is dropped (payload + src_ts go
+    * null, left-join row kept) — "join the latest sensor reading, unless
+    * it is more than an hour stale". Composes the proven operator with a
+    * pure column post-predicate (Spark-first preference order (a)): the
+    * filter runs inside the same whole-stage-codegen stage as the window
+    * projection, so the bound costs zero extra exchanges. The leakage
+    * invariant is unchanged (src_ts ∈ [ts − tolerance, ts]). */
+  def asOfWithin(
+      probes: DataFrame,
+      build: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      payload: Seq[String],
+      bucketWidth: Long,
+      tolerance: Long): DataFrame = {
+    require(tolerance >= 0, "tolerance must be non-negative")
+    val joined = asOf(probes, build, entityCol, tsCol, payload, bucketWidth)
+      .withColumn("__fresh", col(SrcTs).isNotNull && col(tsCol) - col(SrcTs) <= tolerance)
+    (SrcTs +: payload)
+      .foldLeft(joined)((d, c) => d.withColumn(c, when(col("__fresh"), col(c))))
+      .drop("__fresh")
+  }
+
   /** Explicit sort-merge as-of join: repartitionByRange on (entity, bucket) +
     * secondary sort on (ts, tag) + single-pass streaming merge. Output rows
     * stay (entity, bucket, ts)-sorted within partitions. */

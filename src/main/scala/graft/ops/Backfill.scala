@@ -39,6 +39,29 @@ object Backfill {
     }
   }
 
+  /** NOCB (next-observation-carried-backward) backfill — the mirror of
+    * [[locf]]: every row takes the FIRST non-null value at-or-after it.
+    * Adds `<c>_bfilled` per column. Same single exchange + sort window
+    * family as locf (Catalyst merges frames over one window spec), so
+    * running both fills costs one sort. NOTE: backward fill reads the
+    * future BY DEFINITION — it is for label/target construction, never for
+    * features entering an as-of join (the leakage audit would flag it). */
+  def nocb(
+      df: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      cols: Seq[String],
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    val order: Seq[Column] = col(tsCol) +: tieBreak.map(col)
+    val w = Window
+      .partitionBy(col(entityCol))
+      .orderBy(order: _*)
+      .rowsBetween(0, Window.unboundedFollowing)
+    cols.foldLeft(df) { (d, c) =>
+      d.withColumn(s"${c}_bfilled", first(col(c), ignoreNulls = true).over(w))
+    }
+  }
+
   /** Skew-proof LOCF: bucket the time axis, compute per-(entity, bucket) last
     * non-null value (tiny relation), carry it across buckets with a window
     * over the bucket timeline, then fill within buckets and coalesce with the

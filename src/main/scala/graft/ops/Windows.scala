@@ -90,6 +90,27 @@ object Windows {
     df.withColumn(outCol, avg(col(valueCol)).over(w))
   }
 
+  /** Trailing TIME-RANGE mean: avg over rows whose ts lies in
+    * [ts − lookback, ts] — the range-frame twin of [[trailingMean]] (W3).
+    * Row frames answer "last k observations"; range frames answer "last
+    * hour", which is what a wall-clock feature usually means on an
+    * irregular event axis. Catalyst plans the same single exchange + sort
+    * as the rows form; the range frame is evaluated with a sliding
+    * two-pointer over the sorted partition (no per-row rescan). */
+  def trailingRangeMean(
+      df: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      valueCol: String,
+      lookback: Long,
+      outCol: String): DataFrame = {
+    val w = Window
+      .partitionBy(col(entityCol))
+      .orderBy(col(tsCol))
+      .rangeBetween(-lookback, 0)
+    df.withColumn(outCol, avg(col(valueCol)).over(w))
+  }
+
   /** Uniform temporal subsample (W5, `UniformTemporalSubsample`): keep k
     * evenly spaced rows per (entity, group) — ranks round(i*(n-1)/(k-1)),
     * i = 0..k-1, exactly pytorchvideo's index formula (linspace + round).

@@ -86,6 +86,27 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got.toSeq == Seq((3, 1, 1.0), (9, 5, 5.0)))
   }
 
+  test("asOfWithin: tolerance bound is inclusive; stale matches null out") {
+    val build = Seq(("e0", 10L, 1.0), ("e0", 100L, 2.0)).toDF("entity", "ts", "v")
+    val probes = Seq(
+      ("e0", 15L, 0), // staleness 5  <= tol 5  → match kept
+      ("e0", 16L, 1), // staleness 6  >  tol 5  → nulled
+      ("e0", 100L, 2), // staleness 0           → kept
+      ("e0", 5L, 3) // no match at all         → null (left join)
+    ).toDF("entity", "ts", "probe_id")
+    val got = AsOfJoin
+      .asOfWithin(probes, build, "entity", "ts", Seq("v"), 7L, tolerance = 5L)
+      .orderBy("probe_id")
+      .collect()
+      .map(r => (r.getInt(2), Option(r.get(3)), Option(r.get(4))))
+      .toSeq
+    assert(got == Seq(
+      (0, Some(10L), Some(1.0)),
+      (1, None, None),
+      (2, Some(100L), Some(2.0)),
+      (3, None, None)))
+  }
+
   test("bucket width does not change semantics") {
     val build = buildRows.toDF("entity", "ts", "v")
     val probes = probeRows.zipWithIndex.map { case ((e, t), i) => (e, t, i) }
