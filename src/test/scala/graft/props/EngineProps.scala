@@ -101,6 +101,50 @@ object EngineProps extends Properties("graft") {
       }
     }
 
+  property("asOfWithin: infinite tolerance == asOf; any tolerance == brute bound") =
+    Prop.forAll(rowsGen, rowsGen, Gen.oneOf(0L, 3L, 25L, Long.MaxValue)) { (b, p, tol) =>
+      val build = b.toDF("entity", "ts", "v")
+      val probes = p.zipWithIndex
+        .map { case ((e, ts, _), i) => (e, ts, i) }
+        .toDF("entity", "ts", "pid")
+      val dedup = b.groupBy(r => (r._1, r._2)).map { case ((e, t), rs) => (e, t, rs.map(_._3).max) }
+      val want = p.zipWithIndex.map { case ((e, ts, _), i) =>
+        val c = dedup.filter(x => x._1 == e && x._2 <= ts && ts - x._2 <= tol)
+        i -> (if (c.isEmpty) None else Some(c.maxBy(x => (x._2, x._3))).map(x => (x._2, x._3)))
+      }.toMap
+      val got = AsOfJoin
+        .asOfWithin(probes, build, "entity", "ts", Seq("v"), 7L, tol)
+        .collect()
+        .map { r =>
+          val pid = r.getInt(r.fieldIndex("pid"))
+          pid -> (if (r.isNullAt(r.fieldIndex(AsOfJoin.SrcTs))) None
+                  else Some((r.getLong(r.fieldIndex(AsOfJoin.SrcTs)), r.getDouble(r.fieldIndex("v")))))
+        }
+        .toMap
+      (got == want) :| s"asOfWithin($tol): $got != $want"
+    }
+
+  property("nocb == locf on the time-reversed axis") =
+    Prop.forAll(rowsGen) { rows =>
+      val uniq = rows.groupBy(r => (r._1, r._2)).map { case ((e, t), rs) =>
+        (e, t, if (t % 2 == 0) Some(rs.map(_._3).max) else None)
+      }.toList
+      val df = uniq.toDF("entity", "ts", "v")
+      def toMapOut(df2: org.apache.spark.sql.DataFrame, c: String, negate: Boolean) =
+        df2.collect().map { r =>
+          val t = r.getLong(r.fieldIndex("ts"))
+          (r.getString(r.fieldIndex("entity")), if (negate) -t else t) ->
+            (if (r.isNullAt(r.fieldIndex(c))) None else Some(r.getDouble(r.fieldIndex(c))))
+        }.toMap
+      val bfill = toMapOut(Backfill.nocb(df, "entity", "ts", Seq("v")), "v_bfilled", negate = false)
+      val mirrored = toMapOut(
+        Backfill.locf(
+          uniq.map { case (e, t, v) => (e, -t, v) }.toDF("entity", "ts", "v"),
+          "entity", "ts", Seq("v")),
+        "v_filled", negate = true)
+      (bfill == mirrored) :| s"nocb: $bfill != mirrored locf $mirrored"
+    }
+
   property("tumbling tails: ceil keeps every row, floor drops only short tails") =
     Prop.forAll(rowsGen, Gen.oneOf(2L, 7L, 30L)) { (rows, width) =>
       val uniq = rows.groupBy(r => (r._1, r._2)).map { case ((e, t), rs) =>
