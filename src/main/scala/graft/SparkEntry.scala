@@ -139,6 +139,30 @@ object SparkEntry {
           col(AsOfJoin.SrcTs).as("click_ts_us"),
           round(col("click_value"), 4).as("click_value"))
     }),
+    // the flagship as-of via the STATEFUL STREAMING operator
+    // (flatMapGroupsWithState, O(1) state per entity) run in batch mode —
+    // batch/stream parity for the flagship, same DuckDB ASOF oracle
+    // (mirrors the q_locf_stateful pattern)
+    "q_asof_stateful" -> ((s, dir) => {
+      import s.implicits._
+      val e = ev(s, dir)
+        .where(col("event_type").isin("click", "purchase"))
+        .select(
+          col("user_id"),
+          col("ts_us"),
+          (col("event_type") === "click").as("isBuild"),
+          when(col("event_type") === "click", col("value")).as("v"),
+          col("event_id").as("tag"))
+      graft.streaming.StreamingFeatures
+        .statefulAsOf(e.as[graft.streaming.StreamingFeatures.AsOfEvent])
+        .toDF()
+        .select(
+          col("user_id"),
+          col("ts_us"),
+          col("tag").as("event_id"),
+          col("src_ts").as("click_ts_us"),
+          round(col("v"), 4).as("click_value"))
+    }),
     // as-of with a staleness bound (1 h): matches older than the tolerance
     // are dropped to null — the "latest reading unless too stale" form
     // every PIT feature store needs (round-4 widening)
@@ -812,6 +836,13 @@ object SparkEntry {
     Map(
       "q_asof_join" -> asofSql,
       "q_asof_merge" -> asofSql,
+      "q_asof_stateful" ->
+        """SELECT p.user_id AS user_id, epoch_us(p.ts) AS ts_us, p.event_id AS event_id,
+          |       epoch_us(b.ts) AS click_ts_us, round(b.value, 4) AS click_value
+          |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+          |ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS value FROM events
+          |                WHERE event_type = 'click' GROUP BY user_id, ts) b
+          |  ON p.user_id = b.user_id AND p.ts >= b.ts""".stripMargin,
       "q_asof_tolerance" ->
         """SELECT p.user_id AS user_id, epoch_us(p.ts) AS ts_us, p.event_id AS event_id,
           |  CASE WHEN epoch_us(p.ts) - epoch_us(b.ts) <= 3600000000

@@ -73,6 +73,47 @@ object StreamingFeatures {
         })
   }
 
+  /** Tagged union row for [[statefulAsOf]]: build rows carry the payload
+    * (`isBuild = true`), probe rows carry an opaque `tag` for identity. */
+  final case class AsOfEvent(
+      user_id: Long, ts_us: Long, isBuild: Boolean, v: Option[Double], tag: Long = 0L)
+  final case class AsOfOut(
+      user_id: Long, ts_us: Long, src_ts: Option[Long], v: Option[Double], tag: Long = 0L)
+  final case class AsOfCarry(srcTs: Long, v: Double)
+
+  /** Stateful streaming AS-OF JOIN — the incremental twin of the flagship
+    * `graft.ops.AsOfJoin.asOf`: per entity, GroupState holds ONLY the
+    * latest build row (O(1) state, never a rows buffer); each probe emits
+    * with the payload of the latest build at-or-before it. A build
+    * observed in batch 1 serves probes arriving in batch 7.
+    *
+    * Semantics parity with the batch operator (same DuckDB ASOF oracle):
+    * inclusive match (a build at the probe's exact ts is visible — builds
+    * sort before probes at equal ts), duplicate build timestamps resolve
+    * to the max payload (ascending payload sort ⇒ last write wins), and
+    * zero temporal leakage by the same ordering argument. Ordering
+    * contract across batches matches [[statefulLocf]] (event-time-ordered
+    * delivery per entity; the log-structured case). Callable on a batch
+    * Dataset (one group call per key) where it equals `asOf` exactly. */
+  def statefulAsOf(events: Dataset[AsOfEvent]): Dataset[AsOfOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: Long, rows: Iterator[AsOfEvent], state: GroupState[AsOfCarry]) => {
+          val sorted = rows.toVector.sortBy(e =>
+            (e.ts_us, if (e.isBuild) 0 else 1, e.v.getOrElse(Double.NegativeInfinity)))
+          var carry = state.getOption
+          val out = Vector.newBuilder[AsOfOut]
+          sorted.foreach { e =>
+            if (e.isBuild) e.v.foreach(value => carry = Some(AsOfCarry(e.ts_us, value)))
+            else out += AsOfOut(key, e.ts_us, carry.map(_.srcTs), carry.map(_.v), e.tag)
+          }
+          carry.foreach(state.update)
+          out.result().iterator
+        })
+  }
+
   /** Gap-based session aggregate — streaming form of
     * `graft.ops.Sessionize` (new session when idle > gap). */
   def sessionAgg(events: DataFrame, gap: String, watermark: String): DataFrame =

@@ -113,4 +113,63 @@ class StreamingSpec extends SparkSpec {
       col("session_end_us") - col("session_start_us") > col("n_rows") * lit(6L * 3600 * 1000000L))
     assert(bad.count() == 0L)
   }
+
+  test("stateful as-of carries the build across micro-batches and equals batch asOf") {
+    import spark.implicits._
+    import StreamingFeatures.{AsOfEvent, AsOfOut}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[AsOfEvent]
+    val q = StreamingFeatures
+      .statefulAsOf(mem.toDS())
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("asof_out")
+      .start()
+    // batch 1: build at 10 (v=5), probe at 20 and a probe BEFORE any build
+    mem.addData(
+      AsOfEvent(1L, 10L, isBuild = true, Some(5.0)),
+      AsOfEvent(1L, 20L, isBuild = false, None, tag = 1L),
+      AsOfEvent(1L, 5L, isBuild = false, None, tag = 2L))
+    q.processAllAvailable()
+    // batch 2: probe served by batch-1's build (cross-batch state); a new
+    // build at the SAME ts as a probe must be visible (inclusive match)
+    mem.addData(
+      AsOfEvent(1L, 30L, isBuild = false, None, tag = 3L),
+      AsOfEvent(1L, 40L, isBuild = true, Some(9.0)),
+      AsOfEvent(1L, 40L, isBuild = false, None, tag = 4L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("asof_out").as[AsOfOut].collect()
+      .map(o => o.tag -> ((o.src_ts, o.v))).toMap
+    assert(got(1L) == ((Some(10L), Some(5.0))))
+    assert(got(2L) == ((None, None)), "probe before any build must stay null")
+    assert(got(3L) == ((Some(10L), Some(5.0))), "cross-batch carry failed")
+    assert(got(4L) == ((Some(40L), Some(9.0))), "same-ts build must be visible")
+
+    // batch-mode equivalence vs the flagship bucketed asOf on real events
+    val e = spark.read.parquet(eventsPath)
+      .where(col("event_type").isin("click", "purchase"))
+      .select(
+        col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+        (col("event_type") === "click").as("isBuild"),
+        when(col("event_type") === "click", col("value")).as("v"),
+        col("event_id").as("tag"))
+    val fromState = StreamingFeatures.statefulAsOf(e.as[AsOfEvent]).collect()
+      .map(o => o.tag -> ((o.src_ts, o.v))).toMap
+    val probes = e.where(!col("isBuild")).select("user_id", "ts_us", "tag")
+    val build = e.where(col("isBuild")).select(col("user_id"), col("ts_us"), col("v"))
+    val fromBatch = graft.ops.AsOfJoin
+      .asOf(probes, build, "user_id", "ts_us", Seq("v"), 2L * 24 * 3600 * 1000000L)
+      .collect()
+      .map { r =>
+        r.getLong(r.fieldIndex("tag")) -> ((
+          if (r.isNullAt(r.fieldIndex(graft.ops.AsOfJoin.SrcTs))) None
+          else Some(r.getLong(r.fieldIndex(graft.ops.AsOfJoin.SrcTs))),
+          if (r.isNullAt(r.fieldIndex("v"))) None else Some(r.getDouble(r.fieldIndex("v")))))
+      }
+      .toMap
+    assert(fromState == fromBatch, "stateful as-of != bucketed asOf in batch mode")
+  }
 }
