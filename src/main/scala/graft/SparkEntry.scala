@@ -322,6 +322,25 @@ object SparkEntry {
           col("ts_us"),
           round(col("sparse_value_bfilled"), 4).as("bfill_value"))
     }),
+    // ---- distribution features (round-4): exact interpolated percentiles
+    //      per (user, day) — label/feature scaling stats; Spark
+    //      `percentile` and DuckDB `quantile_cont` share the
+    //      p·(n−1) linear-interpolation definition ----
+    "q_percentile" -> ((s, dir) => {
+      ev(s, dir)
+        .groupBy(col("user_id"), floor(col("ts_us") / DayUs).as("win_id"))
+        .agg(
+          count(lit(1)).as("n"),
+          expr("percentile(value, array(0.25D, 0.5D, 0.9D))").as("raw"))
+        .select(col("user_id"), col("win_id"), col("n"), vecFixed(col("raw"), 4).as("pcts"))
+    }),
+    // ---- histogram bucketing over the global value axis (PostgreSQL
+    //      width_bucket semantics in both engines) ----
+    "q_histogram" -> ((s, dir) => {
+      ev(s, dir)
+        .groupBy(width_bucket(col("value"), lit(0d), lit(100d), lit(20)).as("bucket"))
+        .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_v"))
+    }),
     // ---- W5: uniform temporal subsample, k=4 per (user, day) ----
     "q_subsample" -> ((s, dir) => {
       val withWin = ev(s, dir).withColumn("win_id", floor(col("ts_us") / DayUs))
@@ -922,6 +941,22 @@ object SparkEntry {
           |  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
           |                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS sliding_avg
           |FROM events""".stripMargin,
+      "q_percentile" ->
+        """SELECT user_id, epoch_us(ts) // 86400000000 AS win_id, count(*) AS n,
+          |  '[' || array_to_string(
+          |    [CAST(round(round(x, 4) * 10000) AS BIGINT)
+          |     for x in quantile_cont(value, [0.25, 0.5, 0.9])], ',') || ']' AS pcts
+          |FROM events GROUP BY 1, 2""".stripMargin,
+      // this DuckDB build has no width_bucket — spell out the PostgreSQL
+      // semantics (below-range → 0, at-or-above hi → count+1, else
+      // 1-based floor) on the exact bucket boundaries (multiples of 5 are
+      // double-exact, so the two engines cannot disagree at an edge)
+      "q_histogram" ->
+        """SELECT CAST(CASE WHEN value < 0 THEN 0
+          |            WHEN value >= 100 THEN 21
+          |            ELSE floor(value / 5) + 1 END AS BIGINT) AS bucket,
+          |  count(*) AS n, round(avg(value), 4) AS avg_v
+          |FROM events GROUP BY 1""".stripMargin,
       "q_subsample" ->
         """WITH g AS (
           |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,

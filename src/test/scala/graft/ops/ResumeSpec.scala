@@ -97,6 +97,32 @@ class ResumeSpec extends SparkSpec {
     assert(p1 == 2L)
   }
 
+  test("1000+ partitions route through the semi-join path with exact stats") {
+    // Past 1000 pending partitions BOTH the work filter and the manifest
+    // read-back switch from a literal In-list to a broadcast left-semi
+    // join (round-3 advice: the read-back previously rebuilt the In-list,
+    // re-creating the analyzed-plan bloat the work filter avoids). 1003
+    // single-row partitions with ZERO-PADDED string keys also re-prove the
+    // inference-free read end to end at this width.
+    val dir = freshDir("wide")
+    val wide = spark
+      .range(1003)
+      .select(
+        format_string("p%04d", $"id").as("entity"),
+        ($"id" % 7).as("ts"),
+        array(($"id" % 13).cast("double")).as("vec"))
+    val n = Resume.processPending(spark, wide, "entity", "ts", "vec", dir, 1L)
+    assert(n == 1003L)
+    val m = Resume.readManifest(spark, dir)
+    assert(m.count() == 1003L)
+    // every manifest row carries real read-back stats (a broken prune
+    // would record rowCount = 0) and the audit recomputation agrees
+    assert(m.where($"rowCount" =!= 1L).count() == 0L)
+    assert(Resume.audit(spark, dir, "entity", "ts", "vec").count() == 0L)
+    // idempotence: nothing pending on re-run
+    assert(Resume.processPending(spark, wide, "entity", "ts", "vec", dir, 2L) == 0L)
+  }
+
   test("audit flags a tampered partition") {
     val dir = freshDir("tamper")
     Resume.processPending(spark, features, "entity", "ts", "vec", dir, 1L)
