@@ -348,8 +348,10 @@ object SparkEntry {
         .uniformSubsample(withWin, "user_id", "win_id", "ts_us", 4, Seq("event_id"))
         .select(col("user_id"), col("win_id"), col("event_id"), col("ts_us"))
     }),
-    // ---- J3: interval (range) join via time-bucketing — clicks in the
-    //      hour before each view ----
+    // ---- J3: interval (range) join — clicks in the hour before each
+    //      view, via the bucketed ops.IntervalJoin operator (an equi-join
+    //      on (user, bucket) + residual predicate; never a per-user cross
+    //      product) ----
     "q_interval_join" -> ((s, dir) => {
       val e = ev(s, dir)
       val views = e
@@ -358,16 +360,8 @@ object SparkEntry {
       val clicks = e
         .filter(col("event_type") === "click")
         .select(col("user_id"), col("ts_us").as("c_ts"))
-        .withColumn("bucket", floor(col("c_ts") / HourUs))
-      // Each view probes exactly the two hour-buckets its 1h look-back can
-      // touch — an equi-join on (user, bucket) + residual range predicate, so
-      // the range join never degenerates to a per-user cross product.
-      val matched = views
-        .withColumn(
-          "bucket",
-          explode(sequence(floor(col("ts_us") / HourUs) - 1, floor(col("ts_us") / HourUs))))
-        .join(clicks, Seq("user_id", "bucket"))
-        .where(col("c_ts") >= col("ts_us") - HourUs && col("c_ts") < col("ts_us"))
+      val matched = IntervalJoin
+        .rangeJoin(views, clicks, "user_id", "ts_us", "c_ts", before = HourUs, after = 0L)
         .groupBy(col("event_id"))
         .agg(count(lit(1)).as("n"))
       views

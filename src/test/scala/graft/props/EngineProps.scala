@@ -4,7 +4,7 @@ import org.scalacheck.{Gen, Prop, Properties, Test}
 import org.scalacheck.Prop.propBoolean
 
 import graft.SparkSpec
-import graft.ops.{AsOfJoin, Backfill, Sessionize, Windows}
+import graft.ops.{AsOfJoin, Backfill, IntervalJoin, Sessionize, Windows}
 
 /** Property-based laws for the core temporal operators: randomized inputs
   * (duplicate timestamps, empty sides, skewed entities, arbitrary bucket
@@ -122,6 +122,33 @@ object EngineProps extends Properties("graft") {
         }
         .toMap
       (got == want) :| s"asOfWithin($tol): $got != $want"
+    }
+
+  property("rangeJoin == brute-force interval filter for any window/bucket") =
+    Prop.forAll(
+      rowsGen, rowsGen,
+      Gen.oneOf(0L, 2L, 10L), Gen.oneOf(0L, 3L, 15L), Gen.oneOf(0L, 1L, 7L, 100L)) {
+      (ls, rs, before, after, width) =>
+        (before + after > 0) ==> {
+          val left = ls.zipWithIndex
+            .map { case ((e, ts, _), i) => (e, ts, i) }
+            .toDF("entity", "lts", "lid")
+          val right = rs.zipWithIndex
+            .map { case ((e, ts, _), i) => (e, ts, i) }
+            .toDF("entity", "rts", "rid")
+          val want = (for {
+            ((le, lts, _), li) <- ls.zipWithIndex
+            ((re, rts, _), ri) <- rs.zipWithIndex
+            if le == re && rts >= lts - before && rts < lts + after
+          } yield (li, ri)).toSet
+          val got = IntervalJoin
+            .rangeJoin(left, right, "entity", "lts", "rts", before, after, width)
+            .select("lid", "rid")
+            .collect()
+            .map(r => (r.getInt(0), r.getInt(1)))
+            .toSet
+          (got == want) :| s"rangeJoin($before,$after,$width): $got != $want"
+        }
     }
 
   property("nocb == locf on the time-reversed axis") =
