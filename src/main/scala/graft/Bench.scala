@@ -254,11 +254,12 @@ object Bench {
         // as long as this floor stays intact — the artifact must always
         // carry the query timings too.
         val phaseReserve = 170L
-        // Draw quotas per level: the 8-thread level (the binding lottery)
-        // gets one draw per sweep; the 2-thread level two (it reproduces
-        // within ±3%); the 32-thread level one (reported honestly but not
-        // part of the headline pair).
-        val quota = Map(2 -> math.min(2, maxSweeps), 8 -> maxSweeps, 32 -> 1)
+        // Guaranteed-draw quotas for the HEADLINE levels only: the 8-thread
+        // level (the binding lottery) gets one measured draw per sweep, the
+        // 2-thread level two (it reproduces within ±3%, plus the tail draw
+        // below). The 32-thread level has no quota — it is reported
+        // honestly but only ever runs inside sweep 1's time window.
+        val quota = Map(2 -> math.min(2, maxSweeps), 8 -> maxSweeps)
         val draws = scala.collection.mutable.Map(2 -> 0, 8 -> 0, 32 -> 0)
         var sweep = 1
         while (sweep <= maxSweeps &&
@@ -303,10 +304,14 @@ object Bench {
                     f"[scale] sweep$sweep cpus=$c rows=${r._1} best_rps=${r._2}%.1f (budget ${childBudget}s)")
                   // partial state survives a driver-timeout SIGTERM
                   recordLevel(c, r._1, r._2)
+                  // quota counts MEASUREMENTS, not spawn attempts: a child
+                  // killed before its first SCALE line must not consume a
+                  // guaranteed draw (the sweep bound still caps total
+                  // attempts, so failures cannot loop forever)
+                  draws(c) += 1
                 case None =>
                   System.err.println(s"[scale] sweep$sweep cpus=$c produced no SCALE line (budget ${childBudget}s)")
               }
-              draws(c) += 1
             }
           }
           sweep += 1
@@ -438,10 +443,11 @@ object Bench {
 
   private def spawnSkew(budgetSec: Long): Option[String] =
     spawnAndHarvest(
-      // 1M hot rows ⇒ 3.24M total — round-3 directive #3: the 9.7M fixture
-      // ate ~98 s/plan on a contended host; a third of it still separates
-      // the plans (the signal is max-task RATIO, not volume) and fits any
-      // budget window
+      // 1M hot rows ⇒ 2.31M total (cold = hot/200 per entity × 31 × 2
+      // sides) — round-3 directive #3: the 9.7M fixture ate ~98 s/plan on
+      // a contended host; a quarter of it still separates the plans (the
+      // headline is the merge-stage max-task ROWS ratio, volume-
+      // independent) and fits any budget window
       childCmd("graft.SkewBench", Seq("1000000", "31", "32", "json")),
       Map.empty,
       // floor sized for datagen + cache + warm-up + both plans under

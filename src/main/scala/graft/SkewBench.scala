@@ -74,7 +74,23 @@ object SkewBench {
     val stageMax = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
     val stageMaxRows = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
     val stageTasks = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
+    val eventsSeen = new java.util.concurrent.atomic.AtomicLong
     def resetStages(): Unit = { stageMax.clear(); stageMaxRows.clear(); stageTasks.clear() }
+    // The listener bus is async: stageTasks is only populated by
+    // onStageCompleted, and reading before the merge stage's event drains
+    // would silently pick an earlier prep stage as "the merge stage" (the
+    // ratio then compresses toward 1 with no warning). Poll until the
+    // event counter is stable across a full interval — on a contended host
+    // the backlog clears in bursts, so stability beats a fixed sleep.
+    def drainListeners(): Unit = {
+      var prev = -1L
+      var spins = 0
+      while (prev != eventsSeen.get() && spins < 30) {
+        prev = eventsSeen.get()
+        Thread.sleep(300)
+        spins += 1
+      }
+    }
     def mergeStageId: Option[Int] = {
       import scala.jdk.CollectionConverters._
       stageMax.asScala.keys.toSeq
@@ -97,11 +113,13 @@ object SkewBench {
         val rows =
           if (t.taskMetrics != null) t.taskMetrics.shuffleReadMetrics.recordsRead else 0L
         stageMaxRows.merge(t.stageId, rows, math.max(_, _))
+        eventsSeen.incrementAndGet()
       }
       override def onStageCompleted(
           sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
         stageTasks.put(si.stageId, si.numTasks)
+        eventsSeen.incrementAndGet()
         if (debug)
           System.err.println(
             s"[skewdbg] stage ${si.stageId} tasks=${si.numTasks} " +
@@ -140,14 +158,14 @@ object SkewBench {
     def run(name: String, width: Long): (Double, Long, Double, Double) = {
       val reps = if (jsonMode) 1 else 2
       val measured = (1 to reps).map { rep =>
-        Thread.sleep(300) // drain listener events from previous jobs
+        drainListeners() // previous jobs' events must not leak into this rep
         resetStages()
         val t0 = System.nanoTime()
         val n = ops.AsOfJoin
           .asOf(probes, build, "entity", "ts", Seq("v"), width)
           .agg(count(lit(1)), sum(col("v"))).head()
         val sec = (System.nanoTime() - t0) / 1e9
-        Thread.sleep(300) // let this rep's task-end events land
+        drainListeners() // this rep's task/stage events must all have landed
         if (!jsonMode)
           println(f"SKEW $name rep$rep width=$width rows=$total sec=$sec%.2f check=$n")
         (sec, mergeStageMaxRows, mergeStageMaxMs / 1000.0, anyStageMaxMs / 1000.0)

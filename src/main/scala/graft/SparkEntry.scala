@@ -444,6 +444,12 @@ object SparkEntry {
     // (ParitySpec — not SQL-expressible).
     "q_image_meta" -> ((s, _) => {
       import graft.synth.SynthImages
+      // FIXED rendezvous path, not a temp dir: the oracle SQL is authored
+      // statically and must name the same files this query writes, and
+      // DuckDB reads them AFTER the query finishes (so no cleanup here
+      // either). Assumes one driver run at a time per host — concurrent
+      // runs would race the overwrite; the export is deterministic, so
+      // the only hazard is a half-written directory mid-overwrite.
       val base = "/tmp/graft_q_image_meta"
       SynthImages.metaTable(s, 8, 256)
         .coalesce(1).write.mode("overwrite").parquet(s"$base/frames")

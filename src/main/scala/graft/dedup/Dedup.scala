@@ -33,11 +33,16 @@ object Dedup {
 
   val localStage: Stage = _.localCheckpoint()
 
-  private val stageCounter = new java.util.concurrent.atomic.AtomicLong
-
+  /** Staged relations are written under `dir/stage_<uuid>` — UUID, not a
+    * JVM-local counter, so concurrent drivers sharing a staging dir can
+    * never clobber each other's relations. The CALLER owns the lifecycle
+    * of `dir`: staged data must outlive every consumption of the returned
+    * DataFrame (it re-reads the files lazily), so delete the dir after
+    * the dedup job's outputs are materialized — at cluster scale point it
+    * at a TTL'd scratch prefix. */
   def parquetStage(dir: String): Stage = { df =>
-    val path = s"$dir/stage_${stageCounter.incrementAndGet()}"
-    df.write.mode("overwrite").parquet(path)
+    val path = s"$dir/stage_${java.util.UUID.randomUUID()}"
+    df.write.mode("error").parquet(path)
     df.sparkSession.read.parquet(path)
   }
 

@@ -221,35 +221,47 @@ object Resume {
     * either side. [[audit]] is the mismatches-only view; callers that need
     * both the recount and the health flag (q_resume_audit previously ran
     * readAsOf + audit = two extra full data scans) use this directly. */
-  def auditReport(
+  /** Shared recompute-vs-manifest join: manifest rows full-outer joined
+    * with a fresh recount + redigest of the persisted data, one data pass.
+    * The inference-free read makes the data-side key a STRING; it is cast
+    * to the manifest's native partition type before joining — a
+    * string=long join would coerce BOTH sides to double and collapse
+    * distinct 64-bit ids >= 2^53 (e.g. xxhash64-derived partitions). */
+  private def manifestVsData(
       spark: SparkSession,
       outDir: String,
       partitionCol: String,
       tsCol: String,
       vecCol: String): DataFrame = {
     val manifest = readManifest(spark, outDir)
-    // The inference-free read makes the data-side key a STRING; cast it to
-    // the manifest's native partition type before joining — a string=long
-    // join would coerce BOTH sides to double and collapse distinct 64-bit
-    // ids >= 2^53 (e.g. xxhash64-derived partitions) onto each other.
     val partType = manifest.schema("partition").dataType
     val recomputed = readDataStringParts(spark, outDir)
       .withColumn("partition", col("__part").cast(partType))
       .withColumn(DigestTmp, rowDigest(col(partitionCol), col(tsCol), col(vecCol)))
       .groupBy("partition")
       .agg(
-        count(lit(1)).as("recount"),
+        count(lit(1)).as("rc2"),
         expr(s"bit_xor(${DigestTmp})").as("fd2"))
-    manifest
-      .join(recomputed, Seq("partition"), "full_outer")
+    manifest.join(recomputed, Seq("partition"), "full_outer")
+  }
+
+  /** Full per-partition audit report: `(partition, rowCount, recount,
+    * audit_ok)` for every partition seen on either side, one data pass.
+    * [[audit]] is the mismatches-only view of the same join. */
+  def auditReport(
+      spark: SparkSession,
+      outDir: String,
+      partitionCol: String,
+      tsCol: String,
+      vecCol: String): DataFrame =
+    manifestVsData(spark, outDir, partitionCol, tsCol, vecCol)
       .select(
         col("partition"),
         col("rowCount"),
-        col("recount"),
-        (col("rowCount").isNotNull && col("recount").isNotNull &&
-          col("rowCount") === col("recount") &&
+        col("rc2").as("recount"),
+        (col("rowCount").isNotNull && col("rc2").isNotNull &&
+          col("rowCount") === col("rc2") &&
           col("featureDigest") === col("fd2")).as("audit_ok"))
-  }
 
   /** Audit: recompute row counts + digests from the written data and compare
     * with the manifest — the engine's form of the reference's
@@ -260,27 +272,10 @@ object Resume {
       outDir: String,
       partitionCol: String,
       tsCol: String,
-      vecCol: String): DataFrame = {
-    val manifest = readManifest(spark, outDir)
-    // The inference-free read makes the data-side key a STRING; cast it to
-    // the manifest's native partition type before joining — a string=long
-    // join would coerce BOTH sides to double and collapse distinct 64-bit
-    // ids >= 2^53 (e.g. xxhash64-derived partitions) onto each other.
-    val partType = manifest.schema("partition").dataType
-    val data = readDataStringParts(spark, outDir)
-      .withColumn("partition", col("__part").cast(partType))
-      .drop("__part")
-    val recomputed = data
-      .withColumn(DigestTmp, rowDigest(col(partitionCol), col(tsCol), col(vecCol)))
-      .groupBy("partition")
-      .agg(
-        count(lit(1)).as("rc2"),
-        expr(s"bit_xor(${DigestTmp})").as("fd2"))
-    manifest
-      .join(recomputed, Seq("partition"), "full_outer")
+      vecCol: String): DataFrame =
+    manifestVsData(spark, outDir, partitionCol, tsCol, vecCol)
       .where(
         col("rowCount").isNull || col("rc2").isNull ||
           col("rowCount") =!= col("rc2") || col("featureDigest") =!= col("fd2"))
       .select("partition", "rowCount", "rc2", "featureDigest", "fd2")
-  }
 }

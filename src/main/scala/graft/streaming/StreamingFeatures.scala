@@ -79,7 +79,11 @@ object StreamingFeatures {
       user_id: Long, ts_us: Long, isBuild: Boolean, v: Option[Double], tag: Long = 0L)
   final case class AsOfOut(
       user_id: Long, ts_us: Long, src_ts: Option[Long], v: Option[Double], tag: Long = 0L)
-  final case class AsOfCarry(srcTs: Long, v: Double)
+  /** v stays an Option: a build row with a null payload is still a MATCH
+    * (batch asOf keeps it — max(struct(null)) is a non-null struct; the
+    * DuckDB oracle's `max(value) GROUP BY ts` likewise keeps the row with
+    * a NULL value), so the carry must advance to (ts, None), not skip. */
+  final case class AsOfCarry(srcTs: Long, v: Option[Double])
 
   /** Stateful streaming AS-OF JOIN — the incremental twin of the flagship
     * `graft.ops.AsOfJoin.asOf`: per entity, GroupState holds ONLY the
@@ -106,8 +110,8 @@ object StreamingFeatures {
           var carry = state.getOption
           val out = Vector.newBuilder[AsOfOut]
           sorted.foreach { e =>
-            if (e.isBuild) e.v.foreach(value => carry = Some(AsOfCarry(e.ts_us, value)))
-            else out += AsOfOut(key, e.ts_us, carry.map(_.srcTs), carry.map(_.v), e.tag)
+            if (e.isBuild) carry = Some(AsOfCarry(e.ts_us, e.v))
+            else out += AsOfOut(key, e.ts_us, carry.map(_.srcTs), carry.flatMap(_.v), e.tag)
           }
           carry.foreach(state.update)
           out.result().iterator

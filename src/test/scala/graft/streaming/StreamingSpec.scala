@@ -133,11 +133,15 @@ class StreamingSpec extends SparkSpec {
       AsOfEvent(1L, 5L, isBuild = false, None, tag = 2L))
     q.processAllAvailable()
     // batch 2: probe served by batch-1's build (cross-batch state); a new
-    // build at the SAME ts as a probe must be visible (inclusive match)
+    // build at the SAME ts as a probe must be visible (inclusive match);
+    // a build with a NULL payload is still a match (the carry advances to
+    // (ts, None) — batch asOf and the DuckDB oracle both keep such rows)
     mem.addData(
       AsOfEvent(1L, 30L, isBuild = false, None, tag = 3L),
       AsOfEvent(1L, 40L, isBuild = true, Some(9.0)),
-      AsOfEvent(1L, 40L, isBuild = false, None, tag = 4L))
+      AsOfEvent(1L, 40L, isBuild = false, None, tag = 4L),
+      AsOfEvent(1L, 50L, isBuild = true, None),
+      AsOfEvent(1L, 60L, isBuild = false, None, tag = 5L))
     q.processAllAvailable()
     q.stop()
     val got = spark.table("asof_out").as[AsOfOut].collect()
@@ -146,6 +150,7 @@ class StreamingSpec extends SparkSpec {
     assert(got(2L) == ((None, None)), "probe before any build must stay null")
     assert(got(3L) == ((Some(10L), Some(5.0))), "cross-batch carry failed")
     assert(got(4L) == ((Some(40L), Some(9.0))), "same-ts build must be visible")
+    assert(got(5L) == ((Some(50L), None)), "null-payload build must still match")
 
     // batch-mode equivalence vs the flagship bucketed asOf on real events
     val e = spark.read.parquet(eventsPath)
