@@ -316,18 +316,26 @@ object Bench {
           }
           sweep += 1
         }
-        // Tail 2-thread draw: a third time-separated DENOMINATOR sample
-        // (45 s is plenty — the 2-thread level settles within ~5 units).
-        // Without it the quota asymmetry (3 deep 8-thread draws vs 2
-        // 2-thread ones) lets a run whose 2-thread windows were all
-        // noise-cut record a pair above its true value (round-4 run 5:
-        // 1.038) — noise on the denominator inflates the pair just as
-        // dishonestly as noise on the numerator deflates it.
-        if (draws(2) < 3 && budgetSec - elapsedSec - phaseReserve > 45) {
-          spawnChild(2, inputPath, 45L).foreach { r =>
-            System.err.println(
-              f"[scale] tail cpus=2 rows=${r._1} best_rps=${r._2}%.1f (budget 45s)")
-            recordLevel(2, r._1, r._2)
+        // Tail draws, budget-guarded: (a) a third time-separated
+        // DENOMINATOR sample at 2 threads (45 s is plenty — the level
+        // settles within ~5 units). Without it the quota asymmetry (3
+        // deep 8-thread draws vs 2 2-thread ones) lets a run whose
+        // 2-thread windows were all noise-cut record a pair above its
+        // true value (round-4 run 5: 1.038) — noise on the denominator
+        // inflates the pair just as dishonestly as noise on the numerator
+        // deflates it. (b) a second 32-thread sample: that level gets one
+        // sweep-1 draw, and a single crushed window leaves an absurd
+        // in-artifact 8→32 (observed 0.22 when the 32-level drew 16.8 k
+        // against an 18.8 k 8-level); best-of-level over two
+        // time-separated draws is the same estimator every level uses.
+        Seq((2, 3, 45L), (32, 2, 50L)).foreach { case (c, want, b) =>
+          if (draws(c) < want && budgetSec - elapsedSec - phaseReserve > b) {
+            spawnChild(c, inputPath, b).foreach { r =>
+              System.err.println(
+                f"[scale] tail cpus=$c rows=${r._1} best_rps=${r._2}%.1f (budget ${b}s)")
+              recordLevel(c, r._1, r._2)
+              draws(c) += 1
+            }
           }
         }
       } catch {
