@@ -40,6 +40,40 @@ object SparkEntry {
       lit("]"))
   }
 
+  /** Per-user private scratch root (mode 0700) for oracle rendezvous files.
+    * A fixed, PREDICTABLE path is required — the statically-authored oracle
+    * SQL must name the very files a query exports — but a world-writable
+    * /tmp literal would let another local user pre-plant a directory or
+    * symlink that redirects or poisons the rendezvous data the oracle then
+    * reads (round-4 advice). Rooting under java.io.tmpdir/graft-<user> with
+    * owner-only permissions closes that; single driver run per user per
+    * host is still assumed (the export is deterministic, so the only
+    * remaining hazard is a half-written dir mid-overwrite). */
+  private[graft] lazy val scratchRoot: String = {
+    val p = java.nio.file.Paths
+      .get(sys.props("java.io.tmpdir"), s"graft-${sys.props("user.name")}")
+    java.nio.file.Files.createDirectories(p)
+    try
+      java.nio.file.Files.setPosixFilePermissions(
+        p,
+        java.nio.file.attribute.PosixFilePermissions.fromString("rwx------"))
+    catch { case _: UnsupportedOperationException => () } // non-POSIX fs
+    p.toString
+  }
+
+  /** Dedup staging strategy for the driver surface (round-4 directive #7:
+    * the cluster-scale `parquetStage` path must be exercisable end-to-end
+    * through Verify/Bench, not only via DedupStagingSpec). Default stays
+    * `localStage` (right for single-node volumes); setting the system
+    * property `graft.dedup.stage=parquet` routes q_minhash_lsh /
+    * q_ngram_jaccard through write-then-read parquet staging under the
+    * per-user scratch root with UNCHANGED oracles (both modes stage the
+    * same relations, so results are identical by construction). */
+  private def driverStage(tag: String): graft.dedup.Dedup.Stage =
+    if (sys.props.get("graft.dedup.stage").contains("parquet"))
+      graft.dedup.Dedup.parquetStage(s"$scratchRoot/dedup_stage_$tag")
+    else graft.dedup.Dedup.localStage
+
   /** Shared body of q_tumbling_ceil / q_tumbling_floor: windows of 7 frames
     * on a dense per-label rank axis (row_number − 1, the reference's frame
     * index), element-wise vecAvg per window; each label's last window is
@@ -444,13 +478,11 @@ object SparkEntry {
     // (ParitySpec — not SQL-expressible).
     "q_image_meta" -> ((s, _) => {
       import graft.synth.SynthImages
-      // FIXED rendezvous path, not a temp dir: the oracle SQL is authored
-      // statically and must name the same files this query writes, and
+      // FIXED rendezvous path (per-user 0700 scratch — see scratchRoot):
+      // the oracle SQL must name the same files this query writes, and
       // DuckDB reads them AFTER the query finishes (so no cleanup here
-      // either). Assumes one driver run at a time per host — concurrent
-      // runs would race the overwrite; the export is deterministic, so
-      // the only hazard is a half-written directory mid-overwrite.
-      val base = "/tmp/graft_q_image_meta"
+      // either).
+      val base = s"$scratchRoot/q_image_meta"
       SynthImages.metaTable(s, 8, 256)
         .coalesce(1).write.mode("overwrite").parquet(s"$base/frames")
       SynthImages.probes(s, 8, 256, 8)
@@ -481,23 +513,14 @@ object SparkEntry {
           col("f_caption"),
           col("f_session"))
     }),
-    // per-second tumbling mean features with BOTH tail semantics (A2 vs A3)
-    "q_image_seconds_ceil" -> ((s, _) => {
-      val ff = graft.pipeline.FeaturePipeline
-        .frameFeatures(graft.synth.SynthImages.table(s, 8, 256))
-      graft.pipeline.FeaturePipeline
-        .secondFeatures(ff, Windows.CeilTail)
-        .select(col("entity"), col("sec"), col("win_n"),
-          vecFixed(col("sec_vec"), 4).as("sec_vec"))
-    }),
-    "q_image_seconds_floor" -> ((s, _) => {
-      val ff = graft.pipeline.FeaturePipeline
-        .frameFeatures(graft.synth.SynthImages.table(s, 8, 256))
-      graft.pipeline.FeaturePipeline
-        .secondFeatures(ff, Windows.FloorTail)
-        .select(col("entity"), col("sec"), col("win_n"),
-          vecFixed(col("sec_vec"), 4).as("sec_vec"))
-    }),
+    // per-second tumbling mean features with BOTH tail semantics (A2 vs A3),
+    // HASH-CHECKED via the q_image_meta export trick (round-4 directive #4):
+    // the decoded frame vectors are exported to scratch parquet — once the
+    // vectors are data, the per-second vecAvg + tail-mode window math is
+    // fully SQL-expressible and the DuckDB oracle reads the SAME files. Only
+    // the decode itself stays parity-spec'd (ParitySpec — not SQL-expressible).
+    "q_image_seconds_ceil" -> ((s, _) => imageSeconds(s, Windows.CeilTail)),
+    "q_image_seconds_floor" -> ((s, _) => imageSeconds(s, Windows.FloorTail)),
     // ---- P8: grayscale (ITU-R 601-2 luma) over CHW-planar numeric arrays:
     //      first 48 embedding elements as a 3×16 CHW plane ----
     "q_grayscale" -> ((s, dir) => {
@@ -586,9 +609,13 @@ object SparkEntry {
       graft.dedup.Dedup.minhashSigDf(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", 3, 16)
         .select(col("doc").as("doc_id"), concat_ws("|", col("sig")).as("sig"))),
     "q_minhash_lsh" -> ((s, dir) =>
-      graft.dedup.Dedup.minhashLsh(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
+      graft.dedup.Dedup.minhashLsh(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        stage = driverStage("minhash_lsh"))),
     "q_ngram_jaccard" -> ((s, dir) =>
-      graft.dedup.Dedup.ngramJaccard(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
+      graft.dedup.Dedup.ngramJaccard(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        stage = driverStage("ngram_jaccard"))),
     "q_simhash" -> ((s, dir) =>
       s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), graft.dedup.Dedup.simhash(col("text")).as("simhash"))),
@@ -929,6 +956,8 @@ object SparkEntry {
           |FROM sess GROUP BY user_id, session_id""".stripMargin,
       "q_tumbling_ceil" -> tumblingTailSql(floorOnly = false),
       "q_tumbling_floor" -> tumblingTailSql(floorOnly = true),
+      "q_image_seconds_ceil" -> imageSecondsSql("ceil"),
+      "q_image_seconds_floor" -> imageSecondsSql("floor"),
       "q_resume_audit" ->
         """SELECT user_id, count(*) AS n_manifest, count(*) AS n_recount, true AS audit_ok
           |FROM events WHERE user_id < 20 GROUP BY user_id""".stripMargin,
@@ -1017,6 +1046,46 @@ object SparkEntry {
   /** DuckDB twin of [[tumblingTail]]: windows of 7 on the per-label dense
     * rank, per-position mean, fixed-point vector string; `floorOnly` drops
     * partial tails (win_n < 7) exactly like Windows.FloorTail. */
+  /** Shared body of q_image_seconds_ceil/floor: decode frames → export the
+    * (entity, ts, dvec) vectors to a per-mode rendezvous parquet → compute
+    * the per-second tumbling vecAvg over the READ-BACK files (so the oracle
+    * and the query window exactly the same data). Identical math to
+    * FeaturePipeline.secondFeatures; the export is the only addition. */
+  private def imageSeconds(s: SparkSession, tail: Windows.TailMode): DataFrame = {
+    val mode = if (tail == Windows.CeilTail) "ceil" else "floor"
+    val base = s"$scratchRoot/q_image_seconds_$mode"
+    graft.pipeline.FeaturePipeline
+      .frameFeatures(graft.synth.SynthImages.table(s, 8, 256))
+      .select(col("entity"), col("ts"), col("vec").cast("array<double>").as("dvec"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$base/frames")
+    Windows
+      .tumblingAgg(
+        s.read.parquet(s"$base/frames"),
+        "entity",
+        "ts",
+        graft.synth.SynthImages.Fps.toLong,
+        tail,
+        Seq(VecOps.vecAvg(col("dvec")).as("sec_vec")))
+      .withColumnRenamed("win_id", "sec")
+      .select(col("entity"), col("sec"), col("win_n"), vecFixed(col("sec_vec"), 4).as("sec_vec"))
+  }
+
+  /** DuckDB twin of [[imageSeconds]] over the exported vectors. */
+  private def imageSecondsSql(mode: String): String = {
+    val guard = if (mode == "floor") "HAVING max(c.win_n) = 30" else ""
+    s"""WITH f AS (SELECT entity, ts, dvec
+       |           FROM read_parquet('$scratchRoot/q_image_seconds_$mode/frames/*.parquet')),
+       |e AS (SELECT entity, ts // 30 AS sec, unnest(dvec)::DOUBLE AS v,
+       |        unnest(range(1, len(dvec) + 1)) AS pos
+       |      FROM f),
+       |a AS (SELECT entity, sec, pos, avg(v) AS m FROM e GROUP BY 1, 2, 3),
+       |c AS (SELECT entity, ts // 30 AS sec, count(*) AS win_n FROM f GROUP BY 1, 2)
+       |SELECT a.entity AS entity, a.sec AS sec, max(c.win_n) AS win_n,
+       |  '[' || array_to_string(list(CAST(round(round(m, 4) * 10000) AS BIGINT) ORDER BY pos), ',') || ']' AS sec_vec
+       |FROM a JOIN c USING (entity, sec) GROUP BY a.entity, a.sec $guard""".stripMargin
+  }
+
   private def tumblingTailSql(floorOnly: Boolean): String = {
     val guard = if (floorOnly) "HAVING max(c.win_n) = 7" else ""
     s"""WITH r AS (
@@ -1168,13 +1237,14 @@ object SparkEntry {
         |  SELECT p, d,
         |    CASE WHEN strpos('02468ace', substr(md5(p::VARCHAR || ':' || d::VARCHAR), 1, 1)) > 0
         |         THEN 1.0 ELSE -1.0 END AS sgn
-        |  FROM (SELECT unnest(range(0, 96)) AS p), (SELECT unnest(range(0, 64)) AS d)),
+        |  FROM (SELECT unnest(range(0, 96)) AS p),
+        |       (SELECT unnest(range(0, (SELECT len(embedding) FROM embeddings LIMIT 1))) AS d)),
         |vd AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
         |              unnest(range(0, len(embedding))) AS d FROM embeddings),
         |proj AS (SELECT vec_id, p // 6 AS tbl, p % 6 AS bit, sum(v * sgn) AS pr
         |         FROM vd JOIN planes USING (d) GROUP BY vec_id, p // 6, p % 6),
         |buck AS (SELECT vec_id, tbl,
-        |                CAST(sum(CASE WHEN pr > 0 THEN 1 << bit ELSE 0 END) AS BIGINT) AS sig
+        |                CAST(sum(CASE WHEN round(pr, 6) > 0 THEN 1 << bit ELSE 0 END) AS BIGINT) AS sig
         |         FROM proj GROUP BY vec_id, tbl),
         |cand AS (SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS nn_id
         |         FROM buck qb JOIN buck cb USING (tbl, sig)
@@ -1194,8 +1264,8 @@ object SparkEntry {
     // The flagship's join/window math over the exported synthetic meta
     // tables (q_image_meta writes them before computing; same files here).
     "q_image_meta" ->
-      """WITH f AS (SELECT * FROM read_parquet('/tmp/graft_q_image_meta/frames/*.parquet')),
-        |pr AS (SELECT * FROM read_parquet('/tmp/graft_q_image_meta/probes/*.parquet')),
+      s"""WITH f AS (SELECT * FROM read_parquet('$scratchRoot/q_image_meta/frames/*.parquet')),
+        |pr AS (SELECT * FROM read_parquet('$scratchRoot/q_image_meta/probes/*.parquet')),
         |w AS (
         |  SELECT entity, ts,
         |    last_value(regexp_replace(caption, '#C C', 'actor', 'g') IGNORE NULLS)

@@ -52,9 +52,16 @@ object Similarity {
       d => Array.tabulate(Tables * BitsPerTable, d)((p, dd) => sgn(p, dd)))
 
   /** All L B-bit signatures in one pass: sig(t) bit j =
-    * [ sum_d sgn(t*B+j, d) * v_d > 0 ]. One compact UDF (a 96×dim sign
-    * projection is a hash, not a plan — as a raw column expression it
-    * explodes whole-stage codegen); deterministic, per-row, no shuffle. */
+    * [ round(sum_d sgn(t*B+j, d) * v_d, 6) > 0 ]. One compact UDF (a 96×dim
+    * sign projection is a hash, not a plan — as a raw column expression it
+    * explodes whole-stage codegen); deterministic, per-row, no shuffle.
+    *
+    * The projection is ROUNDED before the sign test (round-4 advice): this
+    * UDF sums dimensions in fixed order while the DuckDB oracle's
+    * `sum(v * sgn)` aggregation is unordered, so a projection within fp
+    * association noise of zero could otherwise flip a bucket bit between
+    * the engines. `floor(x·10⁶ + ½) ≥ 1` is exactly DuckDB's half-away
+    * `round(pr, 6) > 0` for the magnitudes involved. */
   private val signatures = org.apache.spark.sql.functions.udf { (vec: Seq[Double]) =>
     if (vec == null) null
     else {
@@ -69,7 +76,7 @@ object Similarity {
           var proj = 0.0
           var d = 0
           while (d < dim) { proj += vec(d) * row(d); d += 1 }
-          if (proj > 0) sig |= (1 << j)
+          if (math.floor(proj * 1e6 + 0.5) >= 1.0) sig |= (1 << j)
           j += 1
         }
         sig

@@ -44,13 +44,17 @@ object StreamingFeatures {
     * across micro-batches, so a value observed in batch 1 backfills nulls
     * arriving in batch 7 with O(1) state per entity (never a rows buffer).
     *
-    * Ordering contract: rows are sorted by ts WITHIN a batch; across
-    * batches the state is last-written-wins, i.e. exact when the source
-    * delivers each entity's rows in event-time order batch-over-batch (the
-    * common log-structured case). Out-of-order arrival across batches
-    * would need watermark-delayed emission — a deliberate non-goal here.
-    * Also callable on a batch Dataset (one group call per key) where it
-    * equals the window-based LOCF exactly. */
+    * Ordering contract: rows are sorted by ts WITHIN a batch (the per-call
+    * buffer is exactly one micro-batch's rows for one key — bounded by the
+    * trigger interval, never unbounded state); across batches the carry is
+    * monotonic in ts (a GUARDED update — a value delivered late with an
+    * older timestamp cannot regress the carry to stale data), i.e. exact
+    * when the source delivers each entity's rows in event-time order
+    * batch-over-batch (the common log-structured case). A late row's OWN
+    * null is still filled from the newer carry — only exact for ordered
+    * delivery; for out-of-order sources use [[statefulLocfBuffered]]
+    * (watermark-delayed emission). Also callable on a batch Dataset (one
+    * group call per key) where it equals the window-based LOCF exactly. */
   def statefulLocf(events: Dataset[LocfEvent]): Dataset[LocfOut] = {
     import events.sparkSession.implicits._
     events
@@ -62,7 +66,8 @@ object StreamingFeatures {
           val out = sorted.map { e =>
             e.v match {
               case Some(value) =>
-                carry = Some(LocfCarry(e.ts_us, value))
+                // guarded: never regress the carry to an older observation
+                if (carry.forall(_.lastTs <= e.ts_us)) carry = Some(LocfCarry(e.ts_us, value))
                 LocfOut(key, e.ts_us, e.v, e.tag)
               case None =>
                 LocfOut(key, e.ts_us, carry.map(_.lastV), e.tag)
@@ -97,8 +102,15 @@ object StreamingFeatures {
     * to the max payload (ascending payload sort ⇒ last write wins), and
     * zero temporal leakage by the same ordering argument. Ordering
     * contract across batches matches [[statefulLocf]] (event-time-ordered
-    * delivery per entity; the log-structured case). Callable on a batch
-    * Dataset (one group call per key) where it equals `asOf` exactly. */
+    * delivery per entity; the log-structured case) — and the carry update
+    * is GUARDED (round-4 advice): a build delivered in a later micro-batch
+    * with an older (or equal-ts, lower-payload) timestamp can no longer
+    * regress the carry to stale data, so at-least-once / mildly
+    * out-of-order build delivery stays consistent with batch asOf's
+    * latest-ts / max-payload semantics. Probes that arrive before a
+    * late build still miss it — for full out-of-order correctness use
+    * [[statefulAsOfBuffered]]. Callable on a batch Dataset (one group call
+    * per key) where it equals `asOf` exactly. */
   def statefulAsOf(events: Dataset[AsOfEvent]): Dataset[AsOfOut] = {
     import events.sparkSession.implicits._
     events
@@ -110,11 +122,106 @@ object StreamingFeatures {
           var carry = state.getOption
           val out = Vector.newBuilder[AsOfOut]
           sorted.foreach { e =>
-            if (e.isBuild) carry = Some(AsOfCarry(e.ts_us, e.v))
-            else out += AsOfOut(key, e.ts_us, carry.map(_.srcTs), carry.flatMap(_.v), e.tag)
+            if (e.isBuild) {
+              if (carryAdvances(carry, e)) carry = Some(AsOfCarry(e.ts_us, e.v))
+            } else out += AsOfOut(key, e.ts_us, carry.map(_.srcTs), carry.flatMap(_.v), e.tag)
           }
           carry.foreach(state.update)
           out.result().iterator
+        })
+  }
+
+  /** true iff build row `e` is (ts, payload)-lexicographically ≥ the carry
+    * — the batch operator's latest-ts / max-payload resolution order. */
+  private def carryAdvances(carry: Option[AsOfCarry], e: AsOfEvent): Boolean =
+    carry.forall { c =>
+      e.ts_us > c.srcTs ||
+        (e.ts_us == c.srcTs &&
+          e.v.getOrElse(Double.NegativeInfinity) >= c.v.getOrElse(Double.NegativeInfinity))
+    }
+
+  /** Buffered state for the watermark-delayed ops: the carry plus rows not
+    * yet final (event time still above the last flushed watermark). The
+    * buffer holds at most one watermark-delay's worth of one entity's rows
+    * — bounded by the delay the caller chooses, not by stream length. */
+  final case class AsOfBufState(
+      carry: Option[AsOfCarry], pending: Vector[AsOfEvent], flushedUs: Long)
+  final case class LocfBufState(
+      carry: Option[LocfCarry], pending: Vector[LocfEvent], flushedUs: Long)
+
+  /** Watermark-delayed stateful AS-OF JOIN — the out-of-order-safe mode of
+    * [[statefulAsOf]] (round-4 directive #6). Rows buffer in GroupState
+    * until the event-time watermark passes them, then flush in exact
+    * (ts, build-first, payload) order — so a build arriving in a LATER
+    * micro-batch than a probe it should serve still joins, as long as it
+    * arrives within `delay`. The trade: emission latency = watermark delay,
+    * and per-entity state grows to one delay-window of rows (vs O(1) for
+    * the fast path). Rows older than the already-flushed watermark are
+    * dropped (standard too-late semantics) — except too-late BUILD rows,
+    * which still pass through the guarded carry update when they advance
+    * it. Streaming-only (event-time timeout needs a watermark); on ordered
+    * sources output equals [[statefulAsOf]] exactly. */
+  def statefulAsOfBuffered(events: Dataset[AsOfEvent], delay: String): Dataset[AsOfOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+      .withWatermark("ts_t", delay)
+      .as[AsOfEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: Long, rows: Iterator[AsOfEvent], state: GroupState[AsOfBufState]) => {
+          val st = state.getOption.getOrElse(AsOfBufState(None, Vector.empty, Long.MinValue))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          // split arrivals: too-late rows (≤ already-flushed watermark) are
+          // dropped as probes but may still advance the carry as builds
+          val (tooLate, fresh) = rows.toVector.partition(_.ts_us <= st.flushedUs)
+          var carry = st.carry
+          tooLate.filter(_.isBuild).sortBy(e => (e.ts_us, e.v.getOrElse(Double.NegativeInfinity)))
+            .foreach(e => if (carryAdvances(carry, e)) carry = Some(AsOfCarry(e.ts_us, e.v)))
+          val (ripe, hold) = (st.pending ++ fresh).partition(_.ts_us <= wmUs)
+          val out = Vector.newBuilder[AsOfOut]
+          ripe.sortBy(e => (e.ts_us, if (e.isBuild) 0 else 1, e.v.getOrElse(Double.NegativeInfinity)))
+            .foreach { e =>
+              if (e.isBuild) {
+                if (carryAdvances(carry, e)) carry = Some(AsOfCarry(e.ts_us, e.v))
+              } else out += AsOfOut(key, e.ts_us, carry.map(_.srcTs), carry.flatMap(_.v), e.tag)
+            }
+          state.update(AsOfBufState(carry, hold, math.max(st.flushedUs, wmUs)))
+          // wake this key as soon as the watermark passes its oldest held row
+          if (hold.nonEmpty) state.setTimeoutTimestamp(hold.map(_.ts_us).min / 1000L + 1L)
+          out.result().iterator
+        })
+  }
+
+  /** Watermark-delayed stateful LOCF — out-of-order-safe twin of
+    * [[statefulLocf]]; same buffering contract as [[statefulAsOfBuffered]]. */
+  def statefulLocfBuffered(events: Dataset[LocfEvent], delay: String): Dataset[LocfOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+      .withWatermark("ts_t", delay)
+      .as[LocfEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: Long, rows: Iterator[LocfEvent], state: GroupState[LocfBufState]) => {
+          val st = state.getOption.getOrElse(LocfBufState(None, Vector.empty, Long.MinValue))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (tooLate, fresh) = rows.toVector.partition(_.ts_us <= st.flushedUs)
+          var carry = st.carry
+          tooLate.collect { case e if e.v.isDefined => e }.sortBy(_.ts_us)
+            .foreach(e => if (carry.forall(_.lastTs <= e.ts_us)) carry = Some(LocfCarry(e.ts_us, e.v.get)))
+          val (ripe, hold) = (st.pending ++ fresh).partition(_.ts_us <= wmUs)
+          val out = ripe.sortBy(_.ts_us).map { e =>
+            e.v match {
+              case Some(value) =>
+                if (carry.forall(_.lastTs <= e.ts_us)) carry = Some(LocfCarry(e.ts_us, value))
+                LocfOut(key, e.ts_us, e.v, e.tag)
+              case None => LocfOut(key, e.ts_us, carry.map(_.lastV), e.tag)
+            }
+          }
+          state.update(LocfBufState(carry, hold, math.max(st.flushedUs, wmUs)))
+          if (hold.nonEmpty) state.setTimeoutTimestamp(hold.map(_.ts_us).min / 1000L + 1L)
+          out.iterator
         })
   }
 

@@ -177,4 +177,85 @@ class StreamingSpec extends SparkSpec {
       .toMap
     assert(fromState == fromBatch, "stateful as-of != bucketed asOf in batch mode")
   }
+
+  test("guarded carry: a late out-of-order build cannot regress the fast-path state") {
+    import spark.implicits._
+    import StreamingFeatures.{AsOfEvent, AsOfOut}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[AsOfEvent]
+    val q = StreamingFeatures.statefulAsOf(mem.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("asof_guard").start()
+    mem.addData(AsOfEvent(1L, 100L, isBuild = true, Some(5.0)))
+    q.processAllAvailable()
+    // batch 2 violates the ordering contract: an OLDER build arrives late.
+    // Unguarded state would regress the carry to (50, 1.0) and serve the
+    // probe stale data; the guard keeps (100, 5.0).
+    mem.addData(
+      AsOfEvent(1L, 50L, isBuild = true, Some(1.0)),
+      AsOfEvent(1L, 200L, isBuild = false, None, tag = 1L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("asof_guard").as[AsOfOut].collect().map(o => o.tag -> ((o.src_ts, o.v))).toMap
+    assert(got(1L) == ((Some(100L), Some(5.0))), "late old build regressed the carry")
+  }
+
+  test("watermark-buffered as-of joins a build arriving in a LATER batch than its probe") {
+    import spark.implicits._
+    import StreamingFeatures.{AsOfEvent, AsOfOut}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // Mode OFF (fast path): the probe emits immediately and MISSES the
+    // late build — the documented ordered-delivery contract.
+    val memFast = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[AsOfEvent]
+    val qf = StreamingFeatures.statefulAsOf(memFast.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("asof_fast_late").start()
+    memFast.addData(AsOfEvent(1L, 100000000L, isBuild = false, None, tag = 1L))
+    qf.processAllAvailable()
+    memFast.addData(AsOfEvent(1L, 50000000L, isBuild = true, Some(7.0)))
+    qf.processAllAvailable()
+    qf.stop()
+    val fast = spark.table("asof_fast_late").as[AsOfOut].collect().map(o => o.tag -> o.src_ts).toMap
+    assert(fast(1L).isEmpty, "fast path should document the miss on out-of-order builds")
+
+    // Mode ON (buffered): the probe is held until the watermark passes it;
+    // the build from the NEXT batch lands first, so the join is exact.
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[AsOfEvent]
+    val q = StreamingFeatures.statefulAsOfBuffered(mem.toDS(), "100 seconds")
+      .writeStream.outputMode("append").format("memory").queryName("asof_buf").start()
+    // batch 1: probe at t=100s — watermark (max event − 100 s delay) still
+    // behind it, so it buffers
+    mem.addData(AsOfEvent(1L, 100000000L, isBuild = false, None, tag = 1L))
+    q.processAllAvailable()
+    // batch 2: the build arrives LATE (t=50s < the already-seen probe) but
+    // INSIDE the 100 s watermark delay, so it buffers alongside the probe
+    mem.addData(AsOfEvent(1L, 50000000L, isBuild = true, Some(7.0)))
+    q.processAllAvailable()
+    // batch 3: t=300s pushes the watermark to 200 s — both held rows are
+    // now final and flush in event-time order: build(50) then probe(100)
+    mem.addData(AsOfEvent(1L, 300000000L, isBuild = true, Some(9.0)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("asof_buf").as[AsOfOut].collect().map(o => o.tag -> ((o.src_ts, o.v))).toMap
+    assert(got(1L) == ((Some(50000000L), Some(7.0))),
+      "buffered mode must serve the probe with the later-arriving build")
+  }
+
+  test("watermark-buffered LOCF fills from a value arriving in a later batch") {
+    import spark.implicits._
+    import StreamingFeatures.{LocfEvent, LocfOut}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[LocfEvent]
+    val q = StreamingFeatures.statefulLocfBuffered(mem.toDS(), "100 seconds")
+      .writeStream.outputMode("append").format("memory").queryName("locf_buf").start()
+    mem.addData(LocfEvent(1L, 100000000L, None, tag = 1L)) // null buffers (watermark 0)
+    q.processAllAvailable()
+    mem.addData(LocfEvent(1L, 50000000L, Some(3.0))) // late value, ripe with the null
+    q.processAllAvailable()
+    mem.addData(LocfEvent(1L, 300000000L, Some(9.0))) // advance watermark
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("locf_buf").as[LocfOut].collect()
+      .map(o => (o.ts_us, o.tag) -> o.v_filled).toMap
+    assert(got((100000000L, 1L)).contains(3.0), "late value must backfill the buffered null")
+  }
 }
