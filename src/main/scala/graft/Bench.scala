@@ -121,6 +121,42 @@ object Bench {
     path
   }
 
+  /** Quiet-host per-query reference seconds (sf0.1, local[32], host load
+    * < 3 — measured 2026-08-17, round 5). Used ONLY as the repair-pass
+    * trigger: a first-pass timing above 2× its reference (0.5 s absolute
+    * floor) earns one re-run in a later window. Never reported as a result
+    * — the artifact always carries measured wall seconds. A query absent
+    * here (e.g. added later) falls back to [[DefaultQuietRef]]. */
+  private val quietRef: Map[String, Double] = Map(
+    "q1_agg" -> 1.27, "q_ann_lsh" -> 3.83, "q_ann_recall" -> 1.41,
+    "q_ann_topk" -> 0.69, "q_anti_join" -> 0.86, "q_asof_join" -> 0.55,
+    "q_asof_merge" -> 2.87, "q_asof_stateful" -> 0.88, "q_asof_tolerance" -> 0.37,
+    "q_audio_clip_stats" -> 1.00, "q_audio_resample" -> 0.26, "q_audio_roundtrip" -> 0.27,
+    "q_bfill" -> 0.21, "q_chunked" -> 0.20, "q_cosine_near_dup" -> 0.83,
+    "q_dedup_exact" -> 0.49, "q_depth_clamp" -> 0.26, "q_depth_roundtrip" -> 0.21,
+    "q_fingerprint" -> 0.18, "q_grayscale" -> 0.22, "q_histogram" -> 0.45,
+    "q_image_meta" -> 1.53, "q_image_pipeline" -> 0.47,
+    "q_image_seconds_ceil" -> 1.60, "q_image_seconds_floor" -> 1.40,
+    "q_interval_join" -> 0.25, "q_join_agg" -> 1.39, "q_json_props" -> 0.16,
+    "q_lag_lead" -> 0.19, "q_lang_id" -> 0.25, "q_leakage_audit" -> 0.43,
+    "q_locf_backfill" -> 0.18, "q_locf_bucketed" -> 0.23, "q_locf_stateful" -> 0.73,
+    "q_minhash_lsh" -> 4.12, "q_minhash_sig" -> 0.89, "q_ngram_jaccard" -> 3.45,
+    "q_percentile" -> 0.44, "q_quality" -> 0.22, "q_range_window" -> 0.17,
+    "q_resume_audit" -> 4.31, "q_resume_manifest" -> 3.64, "q_session_stats" -> 1.07,
+    "q_sessionize" -> 0.16, "q_simhash" -> 0.17, "q_sliding_window" -> 0.16,
+    "q_streaming_session" -> 6.49, "q_streaming_tumbling" -> 2.48,
+    "q_subsample" -> 1.36, "q_token_count" -> 0.20, "q_topk" -> 0.37,
+    "q_tumbling_ceil" -> 0.63, "q_tumbling_floor" -> 0.44, "q_tumbling_window" -> 0.71,
+    "q_vec_avg" -> 0.47, "q_window_gather" -> 0.37)
+  private val DefaultQuietRef = 0.5
+  /** First-pass seconds above which a query earns a repair re-run: factor ×
+    * its quiet reference (0.25 s ref floor so sub-0.2 s queries aren't
+    * re-run over scheduler jitter). SPARK_GRAFT_BENCH_REPAIR_FACTOR
+    * overrides the 2.0 default (mechanism-testing hook). */
+  private def repairThreshold(name: String): Double =
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_REPAIR_FACTOR", "2.0").toDouble *
+      math.max(0.25, quietRef.getOrElse(name, DefaultQuietRef))
+
   /** Mutable partial state so a driver-timeout SIGTERM still yields a
     * parseable contract line (round-1 lesson: rc=124 ⇒ NO bench numbers). */
   private val emitted = new java.util.concurrent.atomic.AtomicBoolean(false)
@@ -129,6 +165,9 @@ object Bench {
   @volatile private var scalingState: Option[(Map[Int, (Long, Double)], Map[String, Double])] = None
   @volatile private var skewState: Option[String] = None
   @volatile private var cpuState: Option[String] = None
+  /** fixture path + per-level draw counts from the scaling phase, kept for
+    * the leftover-budget 32-thread draws of phase 5. */
+  @volatile private var fixtureState: Option[(String, scala.collection.mutable.Map[Int, Int])] = None
   /** stdout file + line prefix (+ level for SCALE) of the child currently
     * running, so a SIGTERM DURING a child (the exact round-1/2 death mode)
     * still harvests that child's partial SCALE/SKEWJSON lines from the
@@ -227,13 +266,16 @@ object Bench {
 
     // ---- phase 1: scaling (north rule) ----
     val skipScaling = sys.env.contains("SPARK_GRAFT_BENCH_SKIP_SCALING")
+    // 440 (was 480): the 40 s funds the skew phase's hard reserve — scaling
+    // hit 0.971 in-artifact with deep guaranteed draws, so it can afford a
+    // slightly tighter soft window better than skew can afford none at all
     val scalingBudget = sys.env.get("SPARK_GRAFT_BENCH_SCALING_SEC").map(_.toLong)
-      .getOrElse(math.min(480L, budgetSec * 5 / 8))
+      .getOrElse(math.min(440L, budgetSec * 5 / 8))
     if (!skipScaling) {
       try {
         val inputPath = materialize(benchEntities, benchFrames)
         System.err.println(s"[bench] fixture $inputPath ready at t=${elapsedSec}s")
-        val scalingDeadline = math.min(scalingBudget, budgetSec - 120)
+        val scalingDeadline = math.min(scalingBudget, budgetSec - 260)
         val levels = Seq(2, 8, 32)
         // Budget shares follow the LOTTERY RISK, not the per-unit cost: the
         // 2-thread level reproduces within ±3% and an under-measured
@@ -248,12 +290,14 @@ object Bench {
         // level shallow or noise-cut in all of its windows.
         val weights = Map(2 -> 0.22, 8 -> 0.48, 32 -> 0.30)
         val maxSweeps = sys.env.getOrElse("SPARK_GRAFT_BENCH_SWEEPS", "3").toInt
-        // Hard reserve for the later phases (query loop + skew + control):
+        // Hard reserve for the later phases (skew + query loop + control):
         // sweeps of the headline {2, 8} pair may run PAST the scaling
         // deadline (round-3 directive #1: the third sweep is unconditional)
         // as long as this floor stays intact — the artifact must always
-        // carry the query timings too.
-        val phaseReserve = 170L
+        // carry the skew pair AND the query timings too (round-4 lesson:
+        // a 170 s reserve covered only a quiet query loop, and the skew
+        // phase — then scheduled last — was starved out of the artifact).
+        val phaseReserve = 240L
         // Guaranteed-draw quotas for the HEADLINE levels only: the 8-thread
         // level (the binding lottery) gets one measured draw per sweep, the
         // 2-thread level two (it reproduces within ±3%, plus the tail draw
@@ -328,7 +372,10 @@ object Bench {
         // in-artifact 8→32 (observed 0.22 when the 32-level drew 16.8 k
         // against an 18.8 k 8-level); best-of-level over two
         // time-separated draws is the same estimator every level uses.
-        Seq((2, 3, 45L), (32, 2, 50L)).foreach { case (c, want, b) =>
+        // The extra 32-thread draws run LAST (phase 5 below): they are the
+        // stretch metric, so they spend only budget left over after every
+        // must-have phase — never the skew/query reserve.
+        Seq((2, 3, 45L)).foreach { case (c, want, b) =>
           if (draws(c) < want && budgetSec - elapsedSec - phaseReserve > b) {
             spawnChild(c, inputPath, b).foreach { r =>
               System.err.println(
@@ -338,13 +385,33 @@ object Bench {
             }
           }
         }
+        fixtureState = Some((inputPath, draws))
       } catch {
         case e: Throwable => System.err.println(s"[bench] scaling failed: ${e.getMessage}")
       }
     }
 
-    // ---- phase 2: per-query timings (driver contract), deadline-guarded ----
-    val queriesDeadline = budgetSec - 60 // reserve: skew + cpu control
+    // ---- phase 2: skew evidence (north rule: explicit hot-key handling) ----
+    // BEFORE the query loop (round-4 directive #1): the loop publishes its
+    // timings incrementally and a partial loop still emits, but a skew pair
+    // starved of its window leaves the artifact with NO skew key at all —
+    // exactly what round-4's contended 130 s loop did when skew ran last.
+    // The child needs ~55 s quiet (1 M hot rows); a 120 s floor survives
+    // moderate contention, and a partial SKEWJSON (bucketed plan only) is
+    // still harvested if the box expires mid-child.
+    if (!sys.env.contains("SPARK_GRAFT_BENCH_SKIP_SKEW")) {
+      // cap so the query loop keeps ≥110 s of the budget
+      val skewBox = math.min(170L, budgetSec - elapsedSec - 110L)
+      if (skewBox >= 60) {
+        try spawnSkew(math.max(skewBox, 120L)) match {
+          case Some(j) => skewState = Some(j); System.err.println(s"[bench] skew: $j")
+          case None    => System.err.println("[bench] skew child produced no SKEWJSON line")
+        } catch { case e: Throwable => System.err.println(s"[bench] skew failed: ${e.getMessage}") }
+      } else System.err.println(s"[bench] skew skipped: box ${skewBox}s too small")
+    }
+
+    // ---- phase 3: per-query timings (driver contract), deadline-guarded ----
+    val queriesDeadline = budgetSec - 25 // reserve: cpu control
     val spark = session(cpus.toInt)
     // untimed session warm-up: without it the alphabetically-first query
     // absorbs ~4s of scheduler/codegen/parquet-footer warm-up that belongs
@@ -373,15 +440,36 @@ object Bench {
       acc += entry
       qTimings = acc.toSeq
     }
-    spark.stop()
-
-    // ---- phase 3: skew evidence (north rule: explicit hot-key handling) ----
-    if (elapsedSec < budgetSec - 80 && !sys.env.contains("SPARK_GRAFT_BENCH_SKIP_SKEW")) {
-      try spawnSkew(budgetSec - elapsedSec - 25) match {
-        case Some(j) => skewState = Some(j); System.err.println(s"[bench] skew: $j")
-        case None    => System.err.println("[bench] skew child produced no SKEWJSON line")
-      } catch { case e: Throwable => System.err.println(s"[bench] skew failed: ${e.getMessage}") }
+    // Repair pass (round-4 directive #2): one contended host window can 18×
+    // a half-second query in the recorded artifact (r4: q_tumbling_ceil
+    // 0.50 → 9.26 s with the plan unchanged). Any query whose first pass
+    // exceeded its quiet reference gets ONE re-run in a later time window;
+    // the minimum is reported. Host noise only ever ADDS wall time, so min
+    // is the honest estimator — the same best-of-windows principle every
+    // scaling level already uses. Worst-distorted queries repair first so a
+    // tight deadline spends its seconds where the artifact is most wrong.
+    val repairables = acc.zipWithIndex
+      .filter { case ((n, t), _) => t > repairThreshold(n) }
+      .sortBy { case ((n, t), _) => -(t / quietRef.getOrElse(n, DefaultQuietRef)) }
+    if (repairables.nonEmpty)
+      System.err.println(
+        s"[bench] repair pass: ${repairables.size} queries above 2x quiet reference: " +
+          repairables.map { case ((n, t), _) => f"$n=$t%.2fs" }.mkString(", "))
+    repairables.foreach { case ((name, t1), idx) =>
+      if (elapsedSec < queriesDeadline) {
+        val t0 = System.nanoTime()
+        try {
+          SparkEntry.queries(name)(spark, sfDir).count()
+          val t2 = (System.nanoTime() - t0) / 1e9
+          if (t2 < t1) {
+            System.err.println(f"[bench] repair $name: $t1%.2fs -> $t2%.2fs")
+            acc(idx) = name -> t2
+            qTimings = acc.toSeq
+          }
+        } catch { case _: Throwable => () } // first-pass timing stands
+      }
     }
+    spark.stop()
 
     // ---- phase 4: pure-CPU 8→32 control (is the 8→32 ceiling machine or
     //      plan? run the SAME per-row kernel with plain threads, no Spark) ----
@@ -391,6 +479,28 @@ object Bench {
         cpuState = Some(j)
         System.err.println(s"[bench] cpu_control: $j")
       } catch { case e: Throwable => System.err.println(s"[bench] cpu control failed: ${e.getMessage}") }
+    }
+
+    // ---- phase 5: leftover-budget DEEP 32-thread draws (stretch) ----
+    // The 32-level otherwise gets only its single sweep-1 window, and one
+    // crushed window records an absurd 8→32 (r4 run 12: 0.223). These run
+    // dead last so they can never displace skew, the query loop, or the
+    // control — they spend purely what those phases left behind, and the
+    // contract line is emitted after them (or by the shutdown hook with
+    // whatever had landed).
+    fixtureState.foreach { case (inputPath, draws) =>
+      Seq((2, 50L), (3, 90L)).foreach { case (want, b) =>
+        if (draws(32) < want && budgetSec - elapsedSec - 10 > b) {
+          try spawnChild(32, inputPath, b).foreach { r =>
+            System.err.println(
+              f"[scale] tail cpus=32 rows=${r._1} best_rps=${r._2}%.1f (budget ${b}s)")
+            recordLevel(32, r._1, r._2)
+            draws(32) += 1
+          } catch {
+            case e: Throwable => System.err.println(s"[bench] tail-32 failed: ${e.getMessage}")
+          }
+        }
+      }
     }
 
     emitOnce()

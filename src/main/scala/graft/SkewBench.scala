@@ -54,6 +54,11 @@ object SkewBench {
       // bucket exceeds the advisory size and coalescing is a non-factor,
       // so disabling it here makes the demo reflect the production plan.
       .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // 10× the default listener-bus queue: the async bus permanently DROPS
+      // events under backlog, and a dropped onStageCompleted would silently
+      // demote the merge stage to an earlier prep stage (round-4 advice).
+      // Headroom first; the task-end fallback below covers residual drops.
+      .config("spark.scheduler.listenerbus.eventqueue.capacity", "100000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -74,8 +79,14 @@ object SkewBench {
     val stageMax = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
     val stageMaxRows = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
     val stageTasks = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
+    // task-END events observed per stage: the multi-task evidence that does
+    // NOT depend on onStageCompleted surviving the bus (round-4 advice — a
+    // dropped stage-completed event must not demote the merge stage)
+    val stageTaskEnds = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
     val eventsSeen = new java.util.concurrent.atomic.AtomicLong
-    def resetStages(): Unit = { stageMax.clear(); stageMaxRows.clear(); stageTasks.clear() }
+    def resetStages(): Unit = {
+      stageMax.clear(); stageMaxRows.clear(); stageTasks.clear(); stageTaskEnds.clear()
+    }
     // The listener bus is async: stageTasks is only populated by
     // onStageCompleted, and reading before the merge stage's event drains
     // would silently pick an earlier prep stage as "the merge stage" (the
@@ -93,10 +104,21 @@ object SkewBench {
     }
     def mergeStageId: Option[Int] = {
       import scala.jdk.CollectionConverters._
-      stageMax.asScala.keys.toSeq
-        .filter(id => stageTasks.getOrDefault(id, 1) >= 2)
+      // ≥2-task evidence from EITHER the stage-completed record OR the
+      // count of task-end events: if the bus dropped this stage's
+      // onStageCompleted, the task ends still identify it as multi-task
+      // instead of silently falling back to an earlier prep stage.
+      val ids = stageMax.asScala.keys.toSeq
+        .filter(id =>
+          stageTasks.getOrDefault(id, 1) >= 2 || stageTaskEnds.getOrDefault(id, 0) >= 2)
         .sorted(Ordering.Int.reverse)
-        .headOption
+      ids.headOption.foreach { id =>
+        if (!stageTasks.containsKey(id))
+          System.err.println(
+            s"[skew] WARNING stage $id has ${stageTaskEnds.get(id)} task ends but no " +
+              "stage-completed record — listener bus dropped events; using task-end fallback")
+      }
+      ids.headOption
     }
     def mergeStageMaxMs: Long = mergeStageId.map(stageMax.getOrDefault(_, 0L)).getOrElse(0L)
     def mergeStageMaxRows: Long = mergeStageId.map(stageMaxRows.getOrDefault(_, 0L)).getOrElse(0L)
@@ -108,6 +130,7 @@ object SkewBench {
       override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
         val d = if (t.taskInfo != null) t.taskInfo.duration else 0L
         stageMax.merge(t.stageId, d, math.max(_, _))
+        stageTaskEnds.merge(t.stageId, 1, _ + _)
         // rows the task PULLED over the exchange — the deterministic size of
         // the task, untouched by host weather (see the metric notes below)
         val rows =
