@@ -133,6 +133,7 @@ object Bench {
     "q_asof_merge" -> 2.87, "q_asof_stateful" -> 0.88, "q_asof_tolerance" -> 0.37,
     "q_audio_clip_stats" -> 1.00, "q_audio_resample" -> 0.26, "q_audio_roundtrip" -> 0.27,
     "q_bfill" -> 0.21, "q_chunked" -> 0.20, "q_cosine_near_dup" -> 0.83,
+    "q_dedup_components" -> 6.0, "q_tfidf" -> 0.8,
     "q_dedup_exact" -> 0.49, "q_depth_clamp" -> 0.26, "q_depth_roundtrip" -> 0.21,
     "q_fingerprint" -> 0.18, "q_grayscale" -> 0.22, "q_histogram" -> 0.45,
     "q_image_meta" -> 1.53, "q_image_pipeline" -> 0.47,
@@ -446,14 +447,18 @@ object Bench {
     // exceeded its quiet reference gets ONE re-run in a later time window;
     // the minimum is reported. Host noise only ever ADDS wall time, so min
     // is the honest estimator — the same best-of-windows principle every
-    // scaling level already uses. Worst-distorted queries repair first so a
-    // tight deadline spends its seconds where the artifact is most wrong.
+    // scaling level already uses. Queries the deadline SKIPPED outright
+    // (-1 sentinels) retry first — a missing timing hurts the artifact
+    // more than a noisy one — then worst-distorted first, so a tight
+    // deadline spends its seconds where the artifact is most wrong.
     val repairables = acc.zipWithIndex
-      .filter { case ((n, t), _) => t > repairThreshold(n) }
-      .sortBy { case ((n, t), _) => -(t / quietRef.getOrElse(n, DefaultQuietRef)) }
+      .filter { case ((n, t), _) => t < 0 || t > repairThreshold(n) }
+      .sortBy { case ((n, t), _) =>
+        if (t < 0) Double.NegativeInfinity else -(t / quietRef.getOrElse(n, DefaultQuietRef))
+      }
     if (repairables.nonEmpty)
       System.err.println(
-        s"[bench] repair pass: ${repairables.size} queries above 2x quiet reference: " +
+        s"[bench] repair pass: ${repairables.size} queries skipped or above 2x quiet reference: " +
           repairables.map { case ((n, t), _) => f"$n=$t%.2fs" }.mkString(", "))
     repairables.foreach { case ((name, t1), idx) =>
       if (elapsedSec < queriesDeadline) {
@@ -461,7 +466,7 @@ object Bench {
         try {
           SparkEntry.queries(name)(spark, sfDir).count()
           val t2 = (System.nanoTime() - t0) / 1e9
-          if (t2 < t1) {
+          if (t1 < 0 || t2 < t1) {
             System.err.println(f"[bench] repair $name: $t1%.2fs -> $t2%.2fs")
             acc(idx) = name -> t2
             qTimings = acc.toSeq

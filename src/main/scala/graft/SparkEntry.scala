@@ -632,6 +632,15 @@ object SparkEntry {
     "q_simhash" -> ((s, dir) =>
       s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), graft.dedup.Dedup.simhash(col("text")).as("simhash"))),
+    // canonicalization: connected components over the MinHash-LSH pair
+    // graph (a~b, b~c ⇒ one duplicate cluster keyed by its min doc id) —
+    // min-label propagation, one shuffle join per iteration
+    "q_dedup_components" -> ((s, dir) => {
+      val pairs = graft.dedup.Dedup.minhashLsh(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        stage = driverStage("components_pairs"))
+      graft.dedup.Dedup.components(pairs, "doc_a", "doc_b")
+    }),
     "q_cosine_near_dup" -> ((s, dir) => {
       // Exact all-pairs form is ORACLE duty only (the scale path is
       // Similarity.annLsh). Bench caps the O(n²) input via a system property
@@ -686,6 +695,8 @@ object SparkEntry {
     "q_token_count" -> ((s, dir) =>
       graft.text.TextAnalysis.tokenCounts(s.read.parquet(s"$dir/documents.parquet"), "text")
         .select(col("doc_id"), col("n_ws_tokens"), col("n_word_tokens"))),
+    "q_tfidf" -> ((s, dir) =>
+      graft.text.TextAnalysis.tfidf(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
     "q_quality" -> ((s, dir) =>
       graft.text.TextAnalysis.qualityScore(s.read.parquet(s"$dir/documents.parquet"), "text")
         .select(col("doc_id"), col("n_tokens"), col("punct_ratio"),
@@ -1118,6 +1129,38 @@ object SparkEntry {
        |FROM a JOIN c USING (label, win_id) GROUP BY a.label, a.win_id $guard""".stripMargin
   }
 
+  /** LSH ANN pipeline CTEs shared by q_ann_lsh / q_ann_recall: query set →
+    * md5-derived sign planes (dimension taken from the data) → rounded-sign
+    * projections → per-table bucket signatures → candidate join → cosine
+    * rank. Mirrors `sim.Similarity.annLsh` stage for stage. */
+  private val AnnLshCte =
+    """q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      |           FROM embeddings WHERE vec_id % 50 = 0),
+      |planes AS (
+      |  SELECT p, d,
+      |    CASE WHEN strpos('02468ace', substr(md5(p::VARCHAR || ':' || d::VARCHAR), 1, 1)) > 0
+      |         THEN 1.0 ELSE -1.0 END AS sgn
+      |  FROM (SELECT unnest(range(0, 96)) AS p),
+      |       (SELECT unnest(range(0, (SELECT len(embedding) FROM embeddings LIMIT 1))) AS d)),
+      |vd AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+      |              unnest(range(0, len(embedding))) AS d FROM embeddings),
+      |proj AS (SELECT vec_id, p // 6 AS tbl, p % 6 AS bit, sum(v * sgn) AS pr
+      |         FROM vd JOIN planes USING (d) GROUP BY vec_id, p // 6, p % 6),
+      |buck AS (SELECT vec_id, tbl,
+      |                CAST(sum(CASE WHEN round(pr, 6) > 0 THEN 1 << bit ELSE 0 END) AS BIGINT) AS sig
+      |         FROM proj GROUP BY vec_id, tbl),
+      |cand AS (SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS nn_id
+      |         FROM buck qb JOIN buck cb USING (tbl, sig)
+      |         WHERE qb.vec_id % 50 = 0 AND cb.vec_id <> qb.vec_id),
+      |ranked AS (
+      |  SELECT c.query_id, c.nn_id,
+      |    round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS cos,
+      |    row_number() OVER (PARTITION BY c.query_id
+      |      ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) DESC,
+      |               c.nn_id) AS rank
+      |  FROM cand c JOIN embeddings e ON e.vec_id = c.nn_id
+      |              JOIN q ON q.query_id = c.query_id)""".stripMargin
+
   /** Shingle CTE shared by the dedup oracles (3-token shingles of the
     * lowercased whitespace-tokenized text, distinct). */
   private val ShinglesCte =
@@ -1125,6 +1168,27 @@ object SparkEntry {
       |  list_distinct([concat_ws(' ', tk[i], tk[i+1], tk[i+2]) for i in range(1, len(tk) - 1)])
       |  END AS shs
       |FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk FROM documents)""".stripMargin
+
+  /** Full MinHash-LSH pair pipeline as CTEs ending in `pairs(doc_a, doc_b,
+    * jaccard)` — shared by q_minhash_lsh and q_dedup_components (which
+    * closes the pair graph transitively). */
+  private lazy val MinhashPairsCte =
+    s"""sh AS ($ShinglesCte),
+       |e AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+       |m AS (SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || s)) AS mh
+       |      FROM e, (SELECT unnest(range(0, 16)) AS seed) GROUP BY doc_id, seed),
+       |sig AS (SELECT doc_id, list(mh ORDER BY seed) AS sig FROM m GROUP BY doc_id),
+       |band AS (SELECT doc_id, b, md5(array_to_string(list_slice(sig, b*4 + 1, b*4 + 4), '|')) AS bh
+       |         FROM sig, (SELECT unnest(range(0, 4)) AS b)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM band a JOIN band b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |pairs AS (
+       |  SELECT doc_a, doc_b,
+       |    round(len(list_intersect(x.shs, y.shs))::DOUBLE /
+       |          (len(x.shs) + len(y.shs) - len(list_intersect(x.shs, y.shs))), 4) AS jaccard
+       |  FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b
+       |  WHERE len(list_intersect(x.shs, y.shs))::DOUBLE /
+       |        (len(x.shs) + len(y.shs) - len(list_intersect(x.shs, y.shs))) >= 0.5)""".stripMargin
 
   private def dedupOracles: Map[String, String] = Map(
     "q_grayscale" ->
@@ -1189,21 +1253,20 @@ object SparkEntry {
          |      FROM e, (SELECT unnest(range(0, 16)) AS seed) GROUP BY doc_id, seed)
          |SELECT doc_id, array_to_string(list(mh ORDER BY seed), '|') AS sig FROM m GROUP BY doc_id""".stripMargin,
     "q_minhash_lsh" ->
-      s"""WITH sh AS ($ShinglesCte),
-         |e AS (SELECT doc_id, unnest(shs) AS s FROM sh),
-         |m AS (SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || s)) AS mh
-         |      FROM e, (SELECT unnest(range(0, 16)) AS seed) GROUP BY doc_id, seed),
-         |sig AS (SELECT doc_id, list(mh ORDER BY seed) AS sig FROM m GROUP BY doc_id),
-         |band AS (SELECT doc_id, b, md5(array_to_string(list_slice(sig, b*4 + 1, b*4 + 4), '|')) AS bh
-         |         FROM sig, (SELECT unnest(range(0, 4)) AS b)),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |         FROM band a JOIN band b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id)
-         |SELECT doc_a, doc_b,
-         |  round(len(list_intersect(x.shs, y.shs))::DOUBLE /
-         |        (len(x.shs) + len(y.shs) - len(list_intersect(x.shs, y.shs))), 4) AS jaccard
-         |FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b
-         |WHERE len(list_intersect(x.shs, y.shs))::DOUBLE /
-         |      (len(x.shs) + len(y.shs) - len(list_intersect(x.shs, y.shs))) >= 0.5""".stripMargin,
+      s"""WITH $MinhashPairsCte
+         |SELECT doc_a, doc_b, jaccard FROM pairs""".stripMargin,
+    // Transitive closure of the SAME pair graph via a recursive CTE: reach
+    // = every (vertex, reachable vertex); min reachable id per vertex IS
+    // the component label the Spark min-label propagation converges to.
+    "q_dedup_components" ->
+      s"""WITH RECURSIVE $MinhashPairsCte,
+         |edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT s, s FROM edges
+         |  UNION
+         |  SELECT e2.t, reach.r FROM reach JOIN edges e2 ON e2.s = reach.id)
+         |SELECT id AS doc_id, min(r) AS comp FROM reach GROUP BY id""".stripMargin,
     "q_ngram_jaccard" ->
       s"""WITH sh AS ($ShinglesCte),
          |e AS (SELECT doc_id, unnest(shs) AS s FROM sh),
@@ -1239,8 +1302,7 @@ object SparkEntry {
     // sign matrix, projections, bucket signatures, candidate join, top-k,
     // and recall vs brute — deterministic, so the one output row hashes.
     "q_ann_recall" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-        |           FROM embeddings WHERE vec_id % 50 = 0),
+      s"""WITH $AnnLshCte,
         |brute AS (
         |  SELECT query_id, nn_id FROM (
         |    SELECT q.query_id, e.vec_id AS nn_id,
@@ -1249,34 +1311,17 @@ object SparkEntry {
         |                 e.vec_id) AS rank
         |    FROM embeddings e, q WHERE e.vec_id <> q.query_id)
         |  WHERE rank <= 5),
-        |planes AS (
-        |  SELECT p, d,
-        |    CASE WHEN strpos('02468ace', substr(md5(p::VARCHAR || ':' || d::VARCHAR), 1, 1)) > 0
-        |         THEN 1.0 ELSE -1.0 END AS sgn
-        |  FROM (SELECT unnest(range(0, 96)) AS p),
-        |       (SELECT unnest(range(0, (SELECT len(embedding) FROM embeddings LIMIT 1))) AS d)),
-        |vd AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
-        |              unnest(range(0, len(embedding))) AS d FROM embeddings),
-        |proj AS (SELECT vec_id, p // 6 AS tbl, p % 6 AS bit, sum(v * sgn) AS pr
-        |         FROM vd JOIN planes USING (d) GROUP BY vec_id, p // 6, p % 6),
-        |buck AS (SELECT vec_id, tbl,
-        |                CAST(sum(CASE WHEN round(pr, 6) > 0 THEN 1 << bit ELSE 0 END) AS BIGINT) AS sig
-        |         FROM proj GROUP BY vec_id, tbl),
-        |cand AS (SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS nn_id
-        |         FROM buck qb JOIN buck cb USING (tbl, sig)
-        |         WHERE qb.vec_id % 50 = 0 AND cb.vec_id <> qb.vec_id),
-        |ann AS (
-        |  SELECT query_id, nn_id FROM (
-        |    SELECT c.query_id, c.nn_id,
-        |      row_number() OVER (PARTITION BY c.query_id
-        |        ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) DESC,
-        |                 c.nn_id) AS rank
-        |    FROM cand c JOIN embeddings e ON e.vec_id = c.nn_id
-        |                JOIN q ON q.query_id = c.query_id)
-        |  WHERE rank <= 5)
+        |ann AS (SELECT query_id, nn_id FROM ranked WHERE rank <= 5)
         |SELECT 5::BIGINT AS k, count(DISTINCT b.query_id) AS n_queries,
         |  round(count(a.nn_id)::DOUBLE / count(*), 4) AS recall
         |FROM brute b LEFT JOIN ann a USING (query_id, nn_id)""".stripMargin,
+    // The per-row ANN output itself (round-5): every stage of annLsh is
+    // md5-deterministic, so "approximate" never meant "unoracleable" — the
+    // same CTE pipeline hashes row-for-row against the Spark operator.
+    "q_ann_lsh" ->
+      s"""WITH $AnnLshCte
+        |SELECT query_id, rank, nn_id, round(cos, 4) AS cos
+        |FROM ranked WHERE rank <= 5""".stripMargin,
     // The flagship's join/window math over the exported synthetic meta
     // tables (q_image_meta writes them before computing; same files here).
     "q_image_meta" ->
@@ -1325,6 +1370,16 @@ object SparkEntry {
         |  len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_ws_tokens,
         |  len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_word_tokens
         |FROM documents""".stripMargin,
+    "q_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT tf.doc_id AS doc_id, tf.term AS term, tf.tf AS tf, dfx.df AS df,
+        |  round(tf.tf * (ln((n.n_docs + 1.0) / (dfx.df + 1.0)) + 1.0), 4) AS tfidf
+        |FROM tf JOIN dfx USING (term), n""".stripMargin,
     "q_quality" ->
       """WITH b AS (
         |  SELECT doc_id,

@@ -347,6 +347,55 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Connected components over a near-dup pair graph — the CANONICALIZATION
+    * step every dedup pipeline needs after pair generation: pairs only say
+    * "a ~ b"; keeping one representative per duplicate CLUSTER requires the
+    * transitive closure (a~b, b~c ⇒ {a,b,c} is one group, keep min id).
+    *
+    * Min-label propagation: every vertex starts labeled with itself; each
+    * iteration every vertex takes the min of its own and its neighbors'
+    * labels (one shuffle join + one aggregation per iteration). Converges
+    * in O(graph diameter) iterations — near-dup clusters are band-joined
+    * cliques-ish with tiny diameter, so a handful of rounds closes them.
+    * Iterations are staged via the same `stage` hook as the pair
+    * generators (localCheckpoint default; parquet at cluster scale) so the
+    * lineage does not grow exponentially. The per-iteration convergence
+    * check is one count — O(1) driver data, not a row collect.
+    *
+    * Output: (doc_id, comp) for every vertex that appears in `pairs`, comp
+    * = min doc_id of its component (the canonical representative). */
+  def components(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIter: Int = 10,
+      stage: Stage = localStage): DataFrame = {
+    val edges = stage(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+        .distinct())
+    var labels = stage(edges.select(col("src").as("id"), col("src").as("comp")).distinct())
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val prop = edges
+        .join(labels.withColumnsRenamed(Map("id" -> "src", "comp" -> "n_comp")), Seq("src"))
+        .select(col("dst").as("id"), col("n_comp").as("comp"))
+      val next = stage(
+        labels.unionByName(prop).groupBy(col("id")).agg(min(col("comp")).as("comp")))
+      // converged iff no vertex's label moved this round (labels only ever
+      // DECREASE, so an anti-join on equality finds exactly the movers)
+      val moved = next
+        .join(labels.withColumnRenamed("comp", "prev"), Seq("id"))
+        .where(col("comp") =!= col("prev"))
+        .limit(1).count()
+      converged = moved == 0
+      labels = next
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("comp"))
+  }
+
   /** Embedding-cosine near-dup pairs ≥ tau — exact all-pairs formulation for
     * oracle checking (the approximate scale path is
     * `graft.sim.Similarity.annLsh`). */

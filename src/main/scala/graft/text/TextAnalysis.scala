@@ -84,4 +84,31 @@ object TextAnalysis {
     df.withColumn(
       "fingerprint",
       array_min(transform(Dedup.shingles(col(textCol), shingleN), s => md5(s))))
+
+  /** TF-IDF sparse vectorization — the classic corpus-statistics text
+    * feature (smooth idf: ln((N+1)/(df+1)) + 1, sklearn's convention).
+    *
+    * Shape for 10^12 docs: token explode → partial-aggregating
+    * (doc, term) count (map-side combine absorbs within-doc repeats
+    * before the shuffle) → document frequency as a second aggregation
+    * over the ALREADY-deduplicated (doc, term) relation (never re-scans
+    * text) → join tf×idf on term (the vocabulary relation — zipfian but
+    * bounded, and a hot term's rows spread over tasks because the join
+    * key is (term) on the TF side whose rows are distinct docs). The
+    * corpus size N joins in as a broadcast 1-row aggregate — no driver
+    * collect, the whole thing is one plan. */
+  def tfidf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(
+      col(idCol).as("doc_id"),
+      explode(whitespaceTokens(col(textCol))).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("n_docs"))
+    tf.join(docFreq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn(
+        "tfidf",
+        round(col("tf") * (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0), 4))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"))
+  }
 }

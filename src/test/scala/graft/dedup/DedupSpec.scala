@@ -94,4 +94,29 @@ class DedupSpec extends SparkSpec {
     assert(ann.nonEmpty, "LSH must return candidates")
     assert(recall >= 0.2, s"ANN recall vs brute force too low: $recall")
   }
+
+  test("connected components close the pair graph transitively (min-id canonical)") {
+    import spark.implicits._
+    // two clusters: a 5-chain (diameter stresses the propagation loop) and
+    // a 3-cycle; plus an isolated pair
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), // chain -> comp 1
+      (20L, 21L), (21L, 22L), (22L, 20L),     // cycle -> comp 20
+      (10L, 11L))                             // pair  -> comp 10
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.components(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("components over the minhash pair graph merge the dup triangle") {
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text", tau = 0.5)
+    val got = Dedup.components(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // docs 1, 2, 4 pair up pairwise -> one component labeled 1
+    assert(got == Map(1L -> 1L, 2L -> 1L, 4L -> 1L))
+  }
 }
