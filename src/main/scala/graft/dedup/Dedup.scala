@@ -352,15 +352,18 @@ object Dedup {
     * "a ~ b"; keeping one representative per duplicate CLUSTER requires the
     * transitive closure (a~b, b~c ⇒ {a,b,c} is one group, keep min id).
     *
-    * Min-label propagation: every vertex starts labeled with itself; each
-    * iteration every vertex takes the min of its own and its neighbors'
-    * labels (one shuffle join + one aggregation per iteration). Converges
-    * in O(graph diameter) iterations — near-dup clusters are band-joined
-    * cliques-ish with tiny diameter, so a handful of rounds closes them.
-    * Iterations are staged via the same `stage` hook as the pair
-    * generators (localCheckpoint default; parquet at cluster scale) so the
-    * lineage does not grow exponentially. The per-iteration convergence
-    * check is one count — O(1) driver data, not a row collect.
+    * Min-label propagation WITH pointer jumping: every vertex starts
+    * labeled with itself; each iteration every vertex takes the min of its
+    * own and its neighbors' labels (one shuffle join + one aggregation),
+    * then compresses one pointer hop (label := label of label — the
+    * Hash-to-Min trick), so path lengths halve per round and convergence
+    * is O(log diameter), not O(diameter) — a 1000-link duplicate chain
+    * closes in ~10 rounds instead of ~1000. Iterations are staged via the
+    * same `stage` hook as the pair generators (localCheckpoint default;
+    * parquet at cluster scale) so the lineage does not grow exponentially.
+    * The per-iteration convergence check is one count — O(1) driver data,
+    * not a row collect. Non-convergence at maxIter (pathological) is
+    * surfaced loudly rather than silently mislabeled.
     *
     * Output: (doc_id, comp) for every vertex that appears in `pairs`, comp
     * = min doc_id of its component (the canonical representative). */
@@ -368,7 +371,7 @@ object Dedup {
       pairs: DataFrame,
       aCol: String,
       bCol: String,
-      maxIter: Int = 10,
+      maxIter: Int = 15,
       stage: Stage = localStage): DataFrame = {
     val edges = stage(
       pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
@@ -381,10 +384,20 @@ object Dedup {
       val prop = edges
         .join(labels.withColumnsRenamed(Map("id" -> "src", "comp" -> "n_comp")), Seq("src"))
         .select(col("dst").as("id"), col("n_comp").as("comp"))
-      val next = stage(
+      // staged BEFORE the self-join below: joining an aggregate to a
+      // projection of itself trips Catalyst's relation dedup (key not
+      // found: id#N); a staged leaf self-joins cleanly (same pattern as
+      // the minhashLsh band join)
+      val folded = stage(
         labels.unionByName(prop).groupBy(col("id")).agg(min(col("comp")).as("comp")))
+      // pointer jump: comp := comp(comp) where defined — halves the
+      // remaining distance to the component minimum every round
+      val next = folded
+        .join(folded.select(col("id").as("jid"), col("comp").as("jcomp")),
+          col("comp") === col("jid"), "left")
+        .select(col("id"), least(col("comp"), coalesce(col("jcomp"), col("comp"))).as("comp"))
       // converged iff no vertex's label moved this round (labels only ever
-      // DECREASE, so an anti-join on equality finds exactly the movers)
+      // DECREASE, so an equality join finds exactly the movers)
       val moved = next
         .join(labels.withColumnRenamed("comp", "prev"), Seq("id"))
         .where(col("comp") =!= col("prev"))
@@ -393,6 +406,10 @@ object Dedup {
       labels = next
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"components() did not converge in $maxIter rounds — with pointer jumping this " +
+          s"bounds component diameter > 2^$maxIter; raise maxIter")
     labels.select(col("id").as("doc_id"), col("comp"))
   }
 

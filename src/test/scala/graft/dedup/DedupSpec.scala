@@ -119,4 +119,14 @@ class DedupSpec extends SparkSpec {
     // docs 1, 2, 4 pair up pairwise -> one component labeled 1
     assert(got == Map(1L -> 1L, 2L -> 1L, 4L -> 1L))
   }
+
+  test("components close a 40-link chain within the iteration bound (pointer jumping)") {
+    import spark.implicits._
+    // diameter 39: plain min-label propagation needs 39 rounds; the
+    // pointer-jumping form must close it within maxIter = 15 (2^15 >> 39)
+    val chain = (1L to 40L).sliding(2).map(s => (s.head, s.last)).toSeq.toDF("doc_a", "doc_b")
+    val got = Dedup.components(chain, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 40 && got.values.forall(_ == 1L))
+  }
 }
