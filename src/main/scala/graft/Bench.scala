@@ -139,7 +139,7 @@ object Bench {
     "q_asof_merge" -> 2.87, "q_asof_stateful" -> 0.88, "q_asof_tolerance" -> 0.37,
     "q_audio_clip_stats" -> 1.00, "q_audio_resample" -> 0.26, "q_audio_roundtrip" -> 0.27,
     "q_bfill" -> 0.21, "q_chunked" -> 0.20, "q_cosine_near_dup" -> 0.83,
-    "q_dedup_components" -> 7.0, "q_tfidf" -> 0.9,
+    "q_dedup_components" -> 7.0, "q_tfidf" -> 0.9, "q_hash_split" -> 0.3,
     "q_dedup_exact" -> 0.49, "q_depth_clamp" -> 0.26, "q_depth_roundtrip" -> 0.21,
     "q_fingerprint" -> 0.18, "q_grayscale" -> 0.22, "q_histogram" -> 0.45,
     "q_image_meta" -> 1.53, "q_image_pipeline" -> 0.47,

@@ -697,6 +697,16 @@ object SparkEntry {
         .select(col("doc_id"), col("n_ws_tokens"), col("n_word_tokens"))),
     "q_tfidf" -> ((s, dir) =>
       graft.text.TextAnalysis.tfidf(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
+    // deterministic hash split: seed-stable train/val/test assignment by
+    // key (md5 buckets — rand()/TABLESAMPLE are partition/order-dependent)
+    "q_hash_split" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      docs.select(
+        col("doc_id"),
+        Sampling.hashBucket(col("doc_id"), 10000).as("bucket"),
+        Sampling.assignSplit(
+          col("doc_id"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+    }),
     "q_quality" -> ((s, dir) =>
       graft.text.TextAnalysis.qualityScore(s.read.parquet(s"$dir/documents.parquet"), "text")
         .select(col("doc_id"), col("n_tokens"), col("punct_ratio"),
@@ -1370,6 +1380,17 @@ object SparkEntry {
         |  len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_ws_tokens,
         |  len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_word_tokens
         |FROM documents""".stripMargin,
+    "q_hash_split" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    list_sum([(strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), j, 1)) - 1)::BIGINT
+        |              << (4*(8 - j)) for j in range(1, 9)]) % 10000 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 8000 THEN 'train'
+        |       WHEN bucket < 9000 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM b""".stripMargin,
     "q_tfidf" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
