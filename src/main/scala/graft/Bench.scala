@@ -315,6 +315,10 @@ object Bench {
         // deepen it when the run is quiet.
         val quota = Map(2 -> math.min(2, maxSweeps), 8 -> maxSweeps, 32 -> 1)
         val draws = scala.collection.mutable.Map(2 -> 0, 8 -> 0, 32 -> 0)
+        // registered BEFORE the sweeps, not after: an exception mid-sweep
+        // must not silently disable phase 5's top-up draws (the fixture
+        // exists and whatever draws landed are real)
+        fixtureState = Some((inputPath, draws))
         var sweep = 1
         while (sweep <= maxSweeps &&
           (elapsedSec < scalingDeadline - 40 || draws(2) < quota(2) || draws(8) < quota(8))) {
@@ -403,7 +407,6 @@ object Bench {
             }
           }
         }
-        fixtureState = Some((inputPath, draws))
       } catch {
         case e: Throwable => System.err.println(s"[bench] scaling failed: ${e.getMessage}")
       }
@@ -418,10 +421,16 @@ object Bench {
     // moderate contention, and a partial SKEWJSON (bucketed plan only) is
     // still harvested if the box expires mid-child.
     if (!sys.env.contains("SPARK_GRAFT_BENCH_SKIP_SKEW")) {
-      // cap so the query loop keeps ≥110 s of the budget
+      // cap so the query loop keeps ≥110 s of the budget. The box is the
+      // child's KILL TIMEOUT verbatim — no hidden floor may raise it back
+      // above the cap (round-5 review: a 120 s spawn floor plus a 150 s
+      // harvest floor could eat the loop's reserve exactly when scaling
+      // had already overrun). Below 100 s the child cannot finish both
+      // plans even quietly (~55-70 s) — skip rather than burn the loop's
+      // budget on a doomed partial.
       val skewBox = math.min(170L, budgetSec - elapsedSec - 110L)
-      if (skewBox >= 60) {
-        try spawnSkew(math.max(skewBox, 120L)) match {
+      if (skewBox >= 100) {
+        try spawnSkew(skewBox) match {
           case Some(j) => skewState = Some(j); System.err.println(s"[bench] skew: $j")
           case None    => System.err.println("[bench] skew child produced no SKEWJSON line")
         } catch { case e: Throwable => System.err.println(s"[bench] skew failed: ${e.getMessage}") }
@@ -478,11 +487,16 @@ object Bench {
         s"[bench] repair pass: ${repairables.size} queries skipped or above 2x quiet reference: " +
           repairables.map { case ((n, t), _) => f"$n=$t%.2fs" }.mkString(", "))
     repairables.foreach { case ((name, t1), idx) =>
-      // anticipate the re-run's own duration (~2× quiet under load): a
-      // repair that would overrun the deadline displaces the cpu control
-      // (round-5 run 4: a 21 s streaming re-run started 1 s before the
-      // deadline and the artifact lost its cpu_control key)
-      val expectedSec = math.ceil(2 * quietRef.getOrElse(name, DefaultQuietRef)).toLong
+      // anticipate the re-run's own duration before starting: a repair
+      // that overruns the deadline displaces the cpu control (round-5
+      // run 4: a 21 s streaming re-run started 1 s before the deadline
+      // and the artifact lost its cpu_control key). The conservative
+      // predictor is the OBSERVED first pass — a repair only triggers
+      // when the host is contended, so "2× quiet" systematically
+      // underestimates the re-run on a still-contended host. Skipped
+      // queries (t1 < 0) have no observation; 2× quiet is all there is.
+      val expectedSec = math.ceil(
+        if (t1 < 0) 2 * quietRef.getOrElse(name, DefaultQuietRef) else t1).toLong
       if (elapsedSec + expectedSec < queriesDeadline) {
         val t0 = System.nanoTime()
         try {
@@ -597,9 +611,9 @@ object Bench {
       // independent) and fits any budget window
       childCmd("graft.SkewBench", Seq("1000000", "31", "32", "json")),
       Map.empty,
-      // floor sized for datagen + cache + warm-up + both plans under
-      // contention; an overrun is harvested partially via inFlight, so
-      // extending past the nominal budget is acceptable
-      math.max(150L, budgetSec),
+      // the caller's box IS the kill timeout — the caller sized it against
+      // the query loop's reserve, and a floor here would silently override
+      // that decision (an overrun is still harvested partially via inFlight)
+      budgetSec,
       "SKEWJSON").map(_.stripPrefix("SKEWJSON").trim)
 }

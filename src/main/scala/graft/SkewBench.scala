@@ -130,7 +130,12 @@ object SkewBench {
       override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
         val d = if (t.taskInfo != null) t.taskInfo.duration else 0L
         stageMax.merge(t.stageId, d, math.max(_, _))
-        stageTaskEnds.merge(t.stageId, 1, _ + _)
+        // fallback COUNT gates on successful, non-speculative attempts: a
+        // single-task stage with one retry would otherwise register two
+        // task ends, qualify as "multi-task", and (being a later stage id)
+        // displace the real merge stage from mergeStageId
+        if (t.taskInfo != null && t.taskInfo.successful && !t.taskInfo.speculative)
+          stageTaskEnds.merge(t.stageId, 1, _ + _)
         // rows the task PULLED over the exchange — the deterministic size of
         // the task, untouched by host weather (see the metric notes below)
         val rows =

@@ -50,11 +50,25 @@ object SparkEntry {
     * host is still assumed (the export is deterministic, so the only
     * remaining hazard is a half-written dir mid-overwrite). */
   private[graft] lazy val scratchRoot: String = {
-    val p = java.nio.file.Paths
-      .get(sys.props("java.io.tmpdir"), s"graft-${sys.props("user.name")}")
-    java.nio.file.Files.createDirectories(p)
+    import java.nio.file.{Files, LinkOption, Paths}
+    val p = Paths.get(sys.props("java.io.tmpdir"), s"graft-${sys.props("user.name")}")
+    if (Files.exists(p, LinkOption.NOFOLLOW_LINKS)) {
+      // a PRE-EXISTING path is only trusted if it is a real directory we
+      // own — a pre-planted symlink or another user's directory would
+      // redirect or poison the rendezvous data the oracle reads, which is
+      // exactly the attack the per-user root exists to stop. Fail loudly
+      // rather than proceed on an attacker-controlled path.
+      require(!Files.isSymbolicLink(p), s"scratch root $p is a symlink — refusing")
+      require(
+        Files.isDirectory(p, LinkOption.NOFOLLOW_LINKS),
+        s"scratch root $p exists but is not a directory")
+      try require(
+        Files.getOwner(p).getName == sys.props("user.name"),
+        s"scratch root $p is owned by another user — refusing")
+      catch { case _: UnsupportedOperationException => () } // non-POSIX fs
+    } else Files.createDirectory(p) // atomic: a creation race throws here
     try
-      java.nio.file.Files.setPosixFilePermissions(
+      Files.setPosixFilePermissions(
         p,
         java.nio.file.attribute.PosixFilePermissions.fromString("rwx------"))
     catch { case _: UnsupportedOperationException => () } // non-POSIX fs
@@ -104,6 +118,9 @@ object SparkEntry {
     // tail. Raise that ONE logger to ERROR around the stop (targeted:
     // every other DAGScheduler warning stays visible).
     val dag = "org.apache.spark.scheduler.DAGScheduler"
+    // restore the PREVIOUS effective level, not a hard-coded WARN — a user
+    // debugging at INFO/DEBUG must get their scheduler logs back
+    val prev = org.apache.logging.log4j.LogManager.getLogger(dag).getLevel
     org.apache.logging.log4j.core.config.Configurator
       .setLevel(dag, org.apache.logging.log4j.Level.ERROR)
     try {
@@ -111,8 +128,7 @@ object SparkEntry {
       q.awaitTermination()
       org.apache.spark.sql.execution.streaming.state.StateStore.stop()
     } finally
-      org.apache.logging.log4j.core.config.Configurator
-        .setLevel(dag, org.apache.logging.log4j.Level.WARN)
+      org.apache.logging.log4j.core.config.Configurator.setLevel(dag, prev)
   }
 
   /** Recursive delete (children before parents), stream closed. */

@@ -43,7 +43,12 @@ object Bucketed {
     * stages included. "Exchange hashpartitioning" counts shuffles only —
     * BroadcastExchange prints differently and is not a shuffle. */
   def exchangeCount(df: DataFrame): Int = {
-    df.count() // materialize so AQE finalizes its plan
+    // collect(), NOT count(): count() builds a SEPARATE Dataset (and
+    // QueryExecution) for the groupBy().count() plan, leaving THIS
+    // DataFrame's adaptive plan un-finalized; collect() runs an action on
+    // this Dataset's own QueryExecution, so the toString below renders the
+    // finalized operators AQE actually executed
+    df.collect()
     "Exchange (?:hash|range)partitioning".r
       .findAllIn(df.queryExecution.executedPlan.toString)
       .size

@@ -36,7 +36,13 @@ object Sampling {
   def assignSplit(key: Column, splits: Seq[(String, Double)]): Column = {
     require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9, "split fractions must sum to 1")
     val b = hashBucket(key, 10000)
-    val bounds = splits.scanLeft(0L) { case (acc, (_, f)) => acc + math.round(f * 10000) }
+    // quantize the CUMULATIVE sums, not each fraction: per-fraction
+    // rounding can make the bounds total 9999/10001 (e.g. three 0.3333…
+    // splits → 3×3333), leaving buckets assigned to no split. Cumulative
+    // rounding is gap-free by construction and the last bound is exactly
+    // 10000 because the fractions sum to 1.
+    val bounds = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }
+      .map(f => math.round(f * 10000))
     splits.zip(bounds.sliding(2).toSeq).foldLeft(lit(null).cast("string")) {
       case (acc, ((name, _), Seq(lo, hi))) =>
         when(b >= lo && b < hi, lit(name)).otherwise(acc)

@@ -156,11 +156,15 @@ object StreamingFeatures {
     * micro-batch than a probe it should serve still joins, as long as it
     * arrives within `delay`. The trade: emission latency = watermark delay,
     * and per-entity state grows to one delay-window of rows (vs O(1) for
-    * the fast path). Rows older than the already-flushed watermark are
-    * dropped (standard too-late semantics) — except too-late BUILD rows,
-    * which still pass through the guarded carry update when they advance
-    * it. Streaming-only (event-time timeout needs a watermark); on ordered
-    * sources output equals [[statefulAsOf]] exactly. */
+    * the fast path). Rows older than the watermark are dropped by the
+    * ENGINE before this function runs (`FlatMapGroupsWithStateExec`
+    * filters late input under EventTimeTimeout — standard too-late
+    * semantics); the in-function too-late branch below is defensive
+    * re-application of the same rule, kept so a Spark version that ever
+    * delivers a late row still handles it consistently (builds may
+    * advance the carry, probes are dropped). Streaming-only (event-time
+    * timeout needs a watermark); on ordered sources output equals
+    * [[statefulAsOf]] exactly. */
   def statefulAsOfBuffered(events: Dataset[AsOfEvent], delay: String): Dataset[AsOfOut] = {
     import events.sparkSession.implicits._
     events

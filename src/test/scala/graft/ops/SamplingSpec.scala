@@ -30,4 +30,14 @@ class SamplingSpec extends SparkSpec {
     val kept5 = Sampling.sampleByHash(ids, "id", 0.5).collect().map(_.getLong(0)).toSet
     assert(kept.subsetOf(kept5), "samples at increasing rates must nest")
   }
+
+  test("assignSplit covers every bucket even with non-representable thirds") {
+    // per-fraction rounding would yield 3x3333 = 9999 and strand bucket
+    // 9999 with a null split; cumulative quantization must be gap-free
+    val ids = spark.range(30000).toDF("id")
+    val nulls = ids.select(Sampling.assignSplit(
+        col("id"), Seq("a" -> (1.0 / 3), "b" -> (1.0 / 3), "c" -> (1.0 / 3))).as("s"))
+      .where(col("s").isNull).count()
+    assert(nulls == 0L, "every bucket must belong to exactly one split")
+  }
 }
