@@ -260,7 +260,13 @@ object Bench {
     // measured efficiency DOWN.
     val benchEntities = sys.env.getOrElse("SPARK_GRAFT_BENCH_ENTITIES", "128").toInt
     val benchFrames = sys.env.getOrElse("SPARK_GRAFT_BENCH_FRAMES", "1024").toInt
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "780").toLong
+    // 740, not 780: the driver invokes this through sbt, whose ~30 s
+    // startup sits OUTSIDE this clock — a 780 s internal budget ran 813 s
+    // of driver wall (round-5 run 9); 740 keeps the sbt-wrapped total at
+    // the nominal 780 so a driver-side timeout near it cannot race the
+    // final emit (the shutdown hook would still publish, but a clean exit
+    // beats relying on it)
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "740").toLong
     val start = System.nanoTime()
     def elapsedSec: Long = (System.nanoTime() - start) / 1000000000L
     sfDirSeen = sfDir
