@@ -397,11 +397,16 @@ object Dedup {
           col("comp") === col("jid"), "left")
         .select(col("id"), least(col("comp"), coalesce(col("jcomp"), col("comp"))).as("comp"))
       // converged iff no vertex's label moved this round (labels only ever
-      // DECREASE, so an equality join finds exactly the movers)
-      val moved = next
-        .join(labels.withColumnRenamed("comp", "prev"), Seq("id"))
-        .where(col("comp") =!= col("prev"))
-        .limit(1).count()
+      // DECREASE, so an equality join finds exactly the movers). Round 0
+      // always moves when any edge exists (labels start as self), so its
+      // check job is skipped — one fewer Spark round-trip per call.
+      val moved =
+        if (iter == 0) 1L
+        else
+          next
+            .join(labels.withColumnRenamed("comp", "prev"), Seq("id"))
+            .where(col("comp") =!= col("prev"))
+            .limit(1).count()
       converged = moved == 0
       labels = next
       iter += 1
