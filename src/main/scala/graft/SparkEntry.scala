@@ -1402,7 +1402,8 @@ object SparkEntry {
         |    list_sum([(strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), j, 1)) - 1)::BIGINT
         |              << (4*(8 - j)) for j in range(1, 9)]) % 10000 AS bucket
         |  FROM documents)
-        |SELECT doc_id, bucket,
+        |-- CAST: DuckDB list_sum yields HUGEINT → pandas float64; Spark side is int64
+        |SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
         |  CASE WHEN bucket < 8000 THEN 'train'
         |       WHEN bucket < 9000 THEN 'val'
         |       ELSE 'test' END AS split
