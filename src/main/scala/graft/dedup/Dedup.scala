@@ -46,6 +46,17 @@ object Dedup {
     df.sparkSession.read.parquet(path)
   }
 
+  /** Best-effort release of a [[localStage]]d relation's block-manager
+    * blocks (no-op for parquet-staged or un-staged relations). Iterative
+    * callers ([[components]]) stage a new relation per round; without an
+    * explicit release the superseded rounds' checkpoint blocks accumulate
+    * for the life of the session. */
+  private[dedup] def unstage(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** whitespace tokens of lowercased trimmed text. */
   def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
 
@@ -378,6 +389,10 @@ object Dedup {
         .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
         .distinct())
     var labels = stage(edges.select(col("src").as("id"), col("src").as("comp")).distinct())
+    // the staged relation BEHIND `labels` — released once the iteration
+    // that superseded it has finished reading it (its only consumers are
+    // the propagation join and the convergence check of the NEXT round)
+    var prevStaged = labels
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -408,9 +423,18 @@ object Dedup {
             .where(col("comp") =!= col("prev"))
             .limit(1).count()
       converged = moved == 0
+      // `moved` was the last reader of the previous round's staged
+      // relation: this round's `next` depends only on `folded`, so the
+      // superseded checkpoint blocks can go (the returned result keeps the
+      // FINAL `folded` alive — it is released only by session teardown)
+      unstage(prevStaged)
+      prevStaged = folded
       labels = next
       iter += 1
     }
+    // edges fed every propagation join but the result depends only on the
+    // final labels — release them too
+    unstage(edges)
     if (!converged)
       throw new IllegalStateException(
         s"components() did not converge in $maxIter rounds — with pointer jumping this " +

@@ -43,12 +43,13 @@ object Bucketed {
     * stages included. "Exchange hashpartitioning" counts shuffles only —
     * BroadcastExchange prints differently and is not a shuffle. */
   def exchangeCount(df: DataFrame): Int = {
-    // collect(), NOT count(): count() builds a SEPARATE Dataset (and
-    // QueryExecution) for the groupBy().count() plan, leaving THIS
-    // DataFrame's adaptive plan un-finalized; collect() runs an action on
-    // this Dataset's own QueryExecution, so the toString below renders the
-    // finalized operators AQE actually executed
-    df.collect()
+    // toRdd.count(), NOT Dataset.count(): count() builds a SEPARATE Dataset
+    // (and QueryExecution) for the groupBy().count() plan, leaving THIS
+    // DataFrame's adaptive plan un-finalized. Executing this Dataset's own
+    // QueryExecution RDD finalizes the adaptive plan the toString below
+    // renders — without materializing the result set on the driver the way
+    // collect() would (only per-partition counts come back).
+    df.queryExecution.toRdd.count()
     "Exchange (?:hash|range)partitioning".r
       .findAllIn(df.queryExecution.executedPlan.toString)
       .size
