@@ -562,10 +562,16 @@ object SparkEntry {
         .coalesce(1).write.mode("overwrite").parquet(s"$base/probes")
       val f = s.read.parquet(s"$base/frames")
         .withColumn("caption_rw", regexp_replace(col("caption"), "#C C", "actor"))
-      val filled = Backfill.locf(f, "entity", "ts", Seq("caption_rw"))
+      // the BUCKETED window stage (the flagship's hot-entity-safe
+      // formulation) — the DuckDB oracle recomputes plain LOCF + sessionize
+      // in SQL over the same exported files, so this hash-checks the
+      // bucketed carry semantics end-to-end, not just spec-vs-spec
+      val sess = graft.ops.BucketedWindows.frameWindows(
+        f, "entity", "ts",
+        graft.pipeline.FeaturePipeline.WindowBucketFrames,
+        graft.pipeline.FeaturePipeline.SessionGapFrames,
+        locfCols = Seq("caption_rw"), lagCols = Nil)
         .withColumnRenamed("caption_rw_filled", "caption_filled")
-      val sess = Sessionize.sessionize(
-        filled, "entity", "ts", graft.pipeline.FeaturePipeline.SessionGapFrames)
       val probes = s.read.parquet(s"$base/probes").withColumnRenamed("asOfTs", "ts")
       AsOfJoin
         .asOf(

@@ -32,6 +32,22 @@ object Sessionize {
         sum(col("is_session_start")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
   }
 
+  /** Skew-proof sessionize: identical output to [[sessionize]], but any one
+    * task holds one (entity, time-bucket) instead of one whole entity —
+    * the [[BucketedWindows]] carry-in formulation (per-bucket internal
+    * boundaries + a carried (prev_last_ts, running boundary count) over the
+    * tiny per-entity bucket timeline). Use when entity history length is
+    * unbounded (hot phash clusters). */
+  def sessionizeBucketed(
+      df: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      gap: Long,
+      bucketWidth: Long,
+      tieBreak: Seq[String] = Nil): DataFrame =
+    BucketedWindows.frameWindows(
+      df, entityCol, tsCol, bucketWidth, gap, locfCols = Nil, lagCols = Nil, tieBreak)
+
   /** Per-session aggregate: row count, span, value stats. Composes on
     * [[sessionize]]; the groupBy reuses the (entity) hash partitioning. */
   def sessionStats(
