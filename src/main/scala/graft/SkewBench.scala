@@ -25,11 +25,17 @@ import org.apache.spark.sql.functions._
   *    while the bucketed plan wants every core; under heavy external load
   *    the wall ratio can invert even though the plans haven't changed.
   *
-  * Run: `runMain graft.SkewBench [hotRows] [coldEntities] [cpus] [json]` —
-  * with `json`, one rep per plan and machine-readable `SKEWJSON {...}`
-  * lines, a partial one after the bucketed run (Bench parses the LAST line,
-  * so a timeout-killed child still reports the production number — same
-  * partial-evidence principle as ScaleChild).
+  * Run: `runMain graft.SkewBench [hotRows] [coldEntities] [cpus] [json]
+  * [window]` — with `json`, one rep per plan and machine-readable
+  * `SKEWJSON {...}` lines, a partial one after the bucketed run (Bench
+  * parses the LAST line, so a timeout-killed child still reports the
+  * production number — same partial-evidence principle as ScaleChild).
+  * With `window`, the measured operator is the flagship's FUSED window
+  * stage ([[ops.BucketedWindows]]: LOCF + lag + sessionize) instead of the
+  * as-of join — the round-5 directive's evidence that bucketing the window
+  * stage removes the same hot-task the as-of pair demonstrates; the naive
+  * shape is the SAME operator at one-bucket width (whole entity in one
+  * task), exactly as in as-of mode.
   */
 object SkewBench {
   def main(args: Array[String]): Unit = {
@@ -37,6 +43,7 @@ object SkewBench {
     val coldEntities = if (args.length > 1) args(1).toInt else 31
     val cpus = if (args.length > 2) args(2).toInt else 32
     val jsonMode = args.contains("json")
+    val windowMode = args.contains("window")
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master(s"local[$cpus]")
       // 4× cores: max-task is the metric here, and the uniform stages' task
@@ -173,7 +180,11 @@ object SkewBench {
         (col("id") % 997).cast("double").as("v"))
       hot.unionByName(cold)
     }
-    val build = side(3L).cache()
+    // pv0: a sparse (mostly-null) column so window mode's LOCF fill has
+    // real carry work; harmless in as-of mode (pruned — payload is v only)
+    val build = side(3L)
+      .withColumn("pv0", when(col("ts") % 50 === 0, col("v")))
+      .cache()
     val probes = side(7L).withColumnRenamed("v", "pv").cache()
     val total = build.count() + probes.count()
 
@@ -183,15 +194,28 @@ object SkewBench {
       * cannot leak into the reported signal — time metrics are
       * best-of-reps, the rows metric is identical across reps (it is a
       * property of the PLAN, not of the run). */
+    // the measured plan: as-of join (default) or the fused window stage
+    // (`window` arg) — identical naive-vs-bucketed methodology, the naive
+    // shape being the same operator at one-bucket width
+    def planOf(width: Long): org.apache.spark.sql.DataFrame =
+      if (windowMode)
+        ops.BucketedWindows
+          .frameWindows(
+            build, "entity", "ts", width, gap = 5L,
+            locfCols = Seq("pv0"), lagCols = Seq("v"))
+          .agg(count(lit(1)), sum(col("session_id")), sum(col("v_lag1")))
+      else
+        ops.AsOfJoin
+          .asOf(probes, build, "entity", "ts", Seq("v"), width)
+          .agg(count(lit(1)), sum(col("v")))
+
     def run(name: String, width: Long): (Double, Long, Double, Double) = {
       val reps = if (jsonMode) 1 else 2
       val measured = (1 to reps).map { rep =>
         drainListeners() // previous jobs' events must not leak into this rep
         resetStages()
         val t0 = System.nanoTime()
-        val n = ops.AsOfJoin
-          .asOf(probes, build, "entity", "ts", Seq("v"), width)
-          .agg(count(lit(1)), sum(col("v"))).head()
+        val n = planOf(width).head()
         val sec = (System.nanoTime() - t0) / 1e9
         drainListeners() // this rep's task/stage events must all have landed
         if (!jsonMode)
@@ -211,8 +235,15 @@ object SkewBench {
       val pSlice = probes.where(col("ts") % 8 === 0)
       val bSlice = build.where(col("ts") % 8 === 0)
       Seq(span / (cpus * 8), span * 10).foreach { w =>
-        ops.AsOfJoin.asOf(pSlice, bSlice, "entity", "ts", Seq("v"), w)
-          .agg(count(lit(1))).head()
+        if (windowMode)
+          ops.BucketedWindows
+            .frameWindows(
+              bSlice, "entity", "ts", w, gap = 5L,
+              locfCols = Seq("pv0"), lagCols = Seq("v"))
+            .agg(count(lit(1))).head()
+        else
+          ops.AsOfJoin.asOf(pSlice, bSlice, "entity", "ts", Seq("v"), w)
+            .agg(count(lit(1))).head()
       }
     }
     // bucketed (fast) FIRST so a timeout-killed child has already reported
