@@ -56,14 +56,27 @@ object AsOfJoin {
 
   /** Shared prep: dedupe build per (entity, ts), bucket both sides, compute
     * carry-in rows, and union build + carry + probe rows into one tagged
-    * relation ready for a per-(entity, bucket) cumulative merge. */
+    * relation ready for a per-(entity, bucket) cumulative merge.
+    *
+    * DIAMOND note (same analysis as `BucketedWindows`): the deduped build
+    * relation feeds TWO subtrees (the per-bucket carry reduction and the
+    * build rows of the union), and the probe side feeds two more (the
+    * probe-bucket timeline and the probe rows). Catalyst cannot share them
+    * (pruning narrows the timeline branches, so ReuseExchange never
+    * fires); with `stage = identity` everything below each branch
+    * re-executes. That is the right default when both inputs are parquet
+    * scans — the narrow branches re-scan only their pruned columns — but
+    * when a side embeds expensive derivation, pass `stage` (lazy
+    * `_.localCheckpoint(false)` single-node, parquet write-then-read at
+    * cluster scale) to materialize the deduped build once. */
   private def prepUnion(
       probes: DataFrame,
       build: DataFrame,
       entityCol: String,
       tsCol: String,
       payload: Seq[String],
-      bucketWidth: Long): (DataFrame, StructType, StructType) = {
+      bucketWidth: Long,
+      stage: DataFrame => DataFrame): (DataFrame, StructType, StructType) = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     val clash = probes.columns.toSet.intersect(payload.toSet)
     require(clash.isEmpty, s"payload columns collide with probe columns: $clash — rename one side")
@@ -73,10 +86,11 @@ object AsOfJoin {
     // One build row per (entity, ts): deterministic max over the payload
     // struct. Duplicate build timestamps would otherwise make window `last`
     // order-dependent (nondeterministic across runs).
-    val b0 = build
-      .groupBy(e, col(tsCol))
-      .agg(max(struct(payload.map(col): _*)).as(PAY))
-      .withColumn(B, floor(col(tsCol) / bucketWidth))
+    val b0 = stage(
+      build
+        .groupBy(e, col(tsCol))
+        .agg(max(struct(payload.map(col): _*)).as(PAY))
+        .withColumn(B, floor(col(tsCol) / bucketWidth)))
 
     val payType = b0.schema(PAY).dataType
     val probeType = StructType(probes.schema.fields)
@@ -129,8 +143,9 @@ object AsOfJoin {
       entityCol: String,
       tsCol: String,
       payload: Seq[String],
-      bucketWidth: Long): DataFrame = {
-    val (unioned, _, _) = prepUnion(probes, build, entityCol, tsCol, payload, bucketWidth)
+      bucketWidth: Long,
+      stage: DataFrame => DataFrame = identity): DataFrame = {
+    val (unioned, _, _) = prepUnion(probes, build, entityCol, tsCol, payload, bucketWidth, stage)
     val w = Window
       .partitionBy(col(entityCol), col(B))
       .orderBy(col(tsCol).asc, col(TAG).asc)
@@ -181,8 +196,9 @@ object AsOfJoin {
       tsCol: String,
       payload: Seq[String],
       bucketWidth: Long,
-      numPartitions: Int = 0): DataFrame = {
-    val (unioned, probeType, payType) = prepUnion(probes, build, entityCol, tsCol, payload, bucketWidth)
+      numPartitions: Int = 0,
+      stage: DataFrame => DataFrame = identity): DataFrame = {
+    val (unioned, probeType, payType) = prepUnion(probes, build, entityCol, tsCol, payload, bucketWidth, stage)
     val spark = probes.sparkSession
     val parts = if (numPartitions > 0) numPartitions else spark.sessionState.conf.numShufflePartitions
     // Range partitioning keeps every (entity, bucket) group in one partition
