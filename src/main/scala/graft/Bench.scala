@@ -106,14 +106,26 @@ object Bench {
       .head().getLong(0)
   }
 
+  /** Release every persisted RDD's blocks (the flagship's lazily
+    * localCheckpointed decode stage pins ~10 MB per pipeline instance;
+    * callers that build the pipeline repeatedly — ScaleChild units,
+    * flagshipRps passes — call this between iterations so the block
+    * manager does not grow monotonically). */
+  private[graft] def releasePersistedRdds(spark: SparkSession): Unit =
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+
   /** Full-pass probe (manual tuning loop — graft.ScaleOne): warm-up pass +
     * best-of-k timed passes in the current JVM. */
   private def flagshipRps(cpus: Int, inputPath: String, mode: String = "full"): (Long, Double) = {
     val spark = session(cpus)
-    def pass(): Long =
-      if (mode == "decode") decodeOnly(spark, inputPath)
-      else consumeAll(graft.pipeline.FeaturePipeline
-        .frameFeatures(spark.read.parquet(inputPath)))
+    def pass(): Long = {
+      val n =
+        if (mode == "decode") decodeOnly(spark, inputPath)
+        else consumeAll(graft.pipeline.FeaturePipeline
+          .frameFeatures(spark.read.parquet(inputPath)))
+      releasePersistedRdds(spark) // drop this pass's checkpoint blocks
+      n
+    }
     val timedReps = sys.env.getOrElse("SPARK_GRAFT_TIMED_REPS", "2").toInt
     try {
       pass() // warm-up: one FULL untimed pass (JIT/C2 needs real volume)
@@ -560,6 +572,12 @@ object Bench {
       // queriesDeadline — their first-pass value is at least real.
       val repairDeadline = if (t1 < 0) budgetSec - 18 else queriesDeadline
       if (elapsedSec + expectedSec < repairDeadline) {
+        // q_minhash_lsh OWNS the session-memoized pair graph: a repair
+        // re-run reading the memo would time a cache hit (~0.2 s) instead
+        // of the pipeline it claims to measure. Drop the memo first so the
+        // re-run rebuilds and restages — two honest windows of the SAME
+        // work, exactly the repair premise.
+        if (name == "q_minhash_lsh") SparkEntry.invalidatePairGraph(spark, sfDir)
         val t0 = System.nanoTime()
         try {
           SparkEntry.queries(name)(spark, sfDir).count()

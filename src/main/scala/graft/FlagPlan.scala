@@ -13,7 +13,9 @@ object FlagPlan {
     val spark = Bench.session(cpus)
     val df = graft.pipeline.FeaturePipeline
       .frameFeatures(spark.read.parquet(path).where(col("__chunk") === 0))
-    df.agg(count(lit(1))).head() // finalize AQE
+    // toRdd.count() on THIS Dataset's QueryExecution finalizes its
+    // adaptive plan (an agg-count would finalize a separate Dataset's plan
+    // and just run the expensive pipeline twice — see Bucketed.exchangeCount)
     val qe = df.queryExecution
     qe.toRdd.count()
     val plan = qe.executedPlan.toString

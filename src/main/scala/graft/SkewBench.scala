@@ -185,8 +185,11 @@ object SkewBench {
     val build = side(3L)
       .withColumn("pv0", when(col("ts") % 50 === 0, col("v")))
       .cache()
-    val probes = side(7L).withColumnRenamed("v", "pv").cache()
-    val total = build.count() + probes.count()
+    // window mode never reads a probe side — building/caching it would
+    // waste roughly half the fixture cost inside the child's kill box, and
+    // its rows would overstate the fixture the reported numbers describe
+    lazy val probes = side(7L).withColumnRenamed("v", "pv").cache()
+    val total = build.count() + (if (windowMode) 0L else probes.count())
 
     /** One plan width → (best wall sec, merge-stage max-task ROWS,
       * best-rep merge-stage max task sec, best-rep any-stage max task sec);
@@ -232,7 +235,6 @@ object SkewBench {
     // only one width would hand its plan a systematic advantage). The
     // interactive mode's rep pairs absorb this via best-of-2 instead.
     if (jsonMode) {
-      val pSlice = probes.where(col("ts") % 8 === 0)
       val bSlice = build.where(col("ts") % 8 === 0)
       Seq(span / (cpus * 8), span * 10).foreach { w =>
         if (windowMode)
@@ -242,7 +244,8 @@ object SkewBench {
               locfCols = Seq("pv0"), lagCols = Seq("v"))
             .agg(count(lit(1))).head()
         else
-          ops.AsOfJoin.asOf(pSlice, bSlice, "entity", "ts", Seq("v"), w)
+          ops.AsOfJoin
+            .asOf(probes.where(col("ts") % 8 === 0), bSlice, "entity", "ts", Seq("v"), w)
             .agg(count(lit(1))).head()
       }
     }

@@ -72,25 +72,40 @@ object SparkEntry {
         p,
         java.nio.file.attribute.PosixFilePermissions.fromString("rwx------"))
     catch { case _: UnsupportedOperationException => () } // non-POSIX fs
-    // Purge stale parquet-stage dirs from PREVIOUS runs (round-5 advice:
+    // Purge STALE parquet-stage dirs from previous runs (round-5 advice:
     // `-Dgraft.dedup.stage=parquet` accumulated UUID-named stage dirs
     // indefinitely). Staged relations only need to outlive their own run,
     // but the run itself cannot reliably delete them at exit — a bench
-    // child may be SIGKILLed mid-plan — so the cheapest safe point is the
-    // NEXT run's init, before this JVM has staged anything. (Same
-    // single-driver-per-user assumption the rendezvous paths already make.)
+    // child may be SIGKILLed mid-plan — so the cheapest safe point is a
+    // LATER run's init. "Stale" is mtime-gated at 2 hours: a same-user
+    // sibling JVM (a Verify started while a Bench is mid-loop) must not
+    // have its LIVE staged relations deleted out from under it (review
+    // finding r6) — runs last ≤ ~15 min, so 2 h cannot catch an in-flight
+    // stage, while everything older is guaranteed orphaned.
     try {
+      val cutoff = java.time.Instant.now().minusSeconds(2 * 3600)
+      def rmTree(d: java.nio.file.Path): Unit = {
+        val walk = Files.walk(d)
+        try
+          walk
+            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(f => Files.deleteIfExists(f))
+        finally walk.close()
+      }
       val stream = Files.list(p)
       try
         stream
           .filter(d => d.getFileName.toString.startsWith("dedup_stage_"))
-          .forEach { d =>
-            val walk = Files.walk(d)
+          .forEach { tagDir =>
+            // TTL per UUID stage subdir, not per tag dir: a recent run
+            // keeps the tag dir's mtime fresh while older runs' stage_*
+            // subdirs inside it are already orphaned
+            val subs = Files.list(tagDir)
             try
-              walk
-                .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-                .forEach(f => Files.deleteIfExists(f))
-            finally walk.close()
+              subs
+                .filter(s => Files.getLastModifiedTime(s).toInstant.isBefore(cutoff))
+                .forEach(rmTree)
+            finally subs.close()
           }
       finally stream.close()
     } catch { case _: Throwable => () } // best-effort housekeeping only
@@ -122,6 +137,16 @@ object SparkEntry {
     * reuses blocks a stopped session dropped; the map stays O(runs) small. */
   private val pairGraphCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Drop the memoized pair graph for (session, dir) — the bench repair
+    * pass calls this before RE-TIMING q_minhash_lsh: the owner query's
+    * honest cost IS building + staging the graph, and a repair re-run that
+    * silently read the memo would record the whole LSH pipeline as ~0.2 s
+    * (review finding r6). Consumers (q_dedup_components) are unaffected —
+    * their recorded semantics is canonicalization over an existing graph. */
+  private[graft] def invalidatePairGraph(s: SparkSession, dir: String): Unit =
+    pairGraphCache.remove((s, dir))
+
   private def minhashPairGraph(s: SparkSession, dir: String): DataFrame =
     pairGraphCache.computeIfAbsent(
       (s, dir),

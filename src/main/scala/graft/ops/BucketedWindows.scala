@@ -81,7 +81,8 @@ object BucketedWindows {
       locfCols: Seq[String],
       lagCols: Seq[String],
       tieBreak: Seq[String] = Nil,
-      stage: DataFrame => DataFrame = identity): DataFrame = {
+      stage: DataFrame => DataFrame = identity,
+      broadcastCarries: Boolean = true): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     require(gap >= 0, "gap must be non-negative")
     val e = col(entityCol)
@@ -156,8 +157,16 @@ object BucketedWindows {
           lagCols.map(c => col(s"__carry_lag_$c")) ++
           locfCols.map(c => col(s"__carry_$c")): _*)
 
-    // 4. stitch: broadcast the carries back and finalize every semantics
-    val joined = local.join(broadcast(carries), Seq(entityCol, B), "inner")
+    // 4. stitch: join the carries back and finalize every semantics.
+    // `broadcastCarries = true` (default) forces a broadcast — right
+    // whenever carries (one row per non-empty (entity, bucket), lag/LOCF
+    // payloads included) fits executor memory. At extreme scale (10^12
+    // rows at 10^5-10^6 rows/bucket ⇒ 10^6-10^7 carry rows × payload, of
+    // broadcast-limit order — review finding r6) pass false: the shuffle
+    // join re-uses the main side's existing (entity, bucket) partitioning,
+    // so only the tiny carry side moves.
+    val carrySide = if (broadcastCarries) broadcast(carries) else carries
+    val joined = local.join(carrySide, Seq(entityCol, B), "inner")
     val isFirst = col(PREV).isNull
     val withSession = joined
       .withColumn("is_session_start", when(isFirst, col("__flag")).otherwise(col(GAP)).cast("int"))

@@ -160,13 +160,19 @@ object Similarity {
     val c =
       if (maxBucketSize <= 0) c0
       else {
-        // bucket histogram is tiny (≤ tables × 2^bits rows); the anti-join
-        // against it broadcasts. Count-then-filter costs one extra scan of
-        // the exploded corpus but keeps the guard exact.
+        // The guard makes this path EAGER by design (it is opt-in): the
+        // bucket histogram is aggregated ONCE into a localCheckpoint —
+        // after the aggregate it is at most tables × 2^bits tiny rows — so
+        // the dropped-bucket log costs a free count() on the staged
+        // relation and the anti-join reads the same blocks instead of
+        // re-scanning the exploded corpus (review finding r6: the first
+        // cut ran the corpus-wide histogram twice, once just for the log).
         val hot = c0
           .groupBy(col("tbl"), col("sig"))
           .agg(count(lit(1)).as("__n"))
           .where(col("__n") > maxBucketSize)
+          .select("tbl", "sig")
+          .localCheckpoint()
         val nHot = hot.count()
         if (nHot > 0)
           org.slf4j.LoggerFactory
@@ -174,7 +180,7 @@ object Similarity {
             .warn(
               s"annLsh hot-bucket guard: dropping $nHot/(${tables}x2^$bitsPerTable) buckets " +
                 s"holding > $maxBucketSize corpus rows each")
-        c0.join(broadcast(hot.select("tbl", "sig")), Seq("tbl", "sig"), "left_anti")
+        c0.join(broadcast(hot), Seq("tbl", "sig"), "left_anti")
       }
     val q = queries
       .select(
