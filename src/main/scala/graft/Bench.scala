@@ -362,16 +362,21 @@ object Bench {
         fixtureState = Some((inputPath, draws))
         var sweep = 1
         while (sweep <= maxSweeps &&
-          (elapsedSec < scalingDeadline - 40 || draws(2) < quota(2) || draws(8) < quota(8))) {
+          (elapsedSec < scalingDeadline - 40 ||
+            draws(2) < quota(2) || draws(8) < quota(8) || draws(32) < quota(32))) {
           // sweep 1 covers all levels, sweep 2 the headline pair {2, 8},
           // later sweeps only the 8-thread level — on a contended host a
           // time-separated DEEP 8-thread draw (the binding lottery, see
           // weights above) beats any other use of the window. Fixed,
-          // value-independent plan.
-          val sweepLevels =
+          // value-independent plan — EXCEPT a 32-level whose single
+          // sweep-1 child failed rejoins later sweeps (round-6 run 6: the
+          // 32 child crashed and nothing before phase 5 could retry it).
+          val baseLevels =
             if (sweep == 1) levels
             else if (sweep == 2) levels.filter(_ <= 8)
             else levels.filter(_ == 8)
+          val sweepLevels =
+            if (sweep > 1 && draws(32) < quota(32)) baseLevels :+ 32 else baseLevels
           // Per-sweep deadline so one fat sweep cannot eat the whole window
           // (round-4 run 1: three 140 s sweep-1 children pushed the later
           // guaranteed sweeps past the soft deadline and the whole bench
@@ -660,7 +665,12 @@ object Bench {
       linePrefix: String,
       trackLevel: Int = -1): Option[String] = {
     val pb = new ProcessBuilder(cmd)
-    pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+    // stderr → FILE (a lazily-drained pipe would deadlock the child once
+    // the 64K buffer fills — round-2 lesson — but a file redirect cannot);
+    // kept only long enough to explain a child that produced no line
+    // (round-6: two children died silently with stderr discarded)
+    val errFile = java.nio.file.Files.createTempFile("graft_child_err", ".txt")
+    pb.redirectError(errFile.toFile)
     env.foreach { case (k, v) => pb.environment().put(k, v) }
     val outFile = java.nio.file.Files.createTempFile("graft_child_out", ".txt")
     pb.redirectOutput(outFile.toFile)
@@ -673,10 +683,23 @@ object Bench {
         System.err.println(s"[bench] child $linePrefix overran ${timeoutSec}s — killed; harvesting partial output")
       }
       val out = new String(java.nio.file.Files.readAllBytes(outFile), "UTF-8")
-      out.linesIterator.filter(_.startsWith(linePrefix)).toSeq.lastOption
+      val line = out.linesIterator.filter(_.startsWith(linePrefix)).toSeq.lastOption
+      if (line.isEmpty) {
+        // surface the crash reason (exit code + stderr tail) — a silent
+        // child failure is otherwise undiagnosable (stderr was discarded)
+        val rc = try proc.exitValue().toString catch { case _: Throwable => "running" }
+        val errTail =
+          try new String(java.nio.file.Files.readAllBytes(errFile), "UTF-8")
+            .linesIterator.toSeq.takeRight(4).mkString(" | ")
+          catch { case _: Throwable => "" }
+        System.err.println(
+          s"[bench] child $linePrefix produced no line (rc=$rc): ${errTail.take(500)}")
+      }
+      line
     } finally {
       inFlight = None
       java.nio.file.Files.deleteIfExists(outFile)
+      java.nio.file.Files.deleteIfExists(errFile)
     }
   }
 
