@@ -53,7 +53,15 @@ object ScaleChild {
       var work = 0.0
       var best = 0.0
       var u = 1
-      while (elapsed < budgetSec && u <= maxUnits) {
+      // `u == 1 ||`: ALWAYS measure at least one unit. Round-6 diagnosis:
+      // under contention session init + warm-up alone can exceed the wall
+      // budget, so the loop never ran and the child exited rc=0 with ZERO
+      // SCALE lines — indistinguishable from a crash and wasting the whole
+      // spawn. One overrun unit is covered by the parent's kill grace
+      // (budget+90) and partial harvesting; a cold-ish single unit only
+      // under-reports (the same downward direction as host noise, which
+      // the best-of-level estimator already absorbs).
+      while ((u == 1 || elapsed < budgetSec) && u <= maxUnits) {
         val s = System.nanoTime()
         val n = unit(u)
         val dt = (System.nanoTime() - s) / 1e9
