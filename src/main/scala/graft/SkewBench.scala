@@ -206,7 +206,15 @@ object SkewBench {
           .frameWindows(
             build, "entity", "ts", width, gap = 5L,
             locfCols = Seq("pv0"), lagCols = Seq("v"))
-          .agg(count(lit(1)), sum(col("session_id")), sum(col("v_lag1")))
+          // every window output is referenced — count(pv0_filled) keeps the
+          // LOCF branch alive (round-6 advice: an agg over only session_id
+          // and v_lag1 let ColumnPruning delete the pv0 fill expression and
+          // its carry aggregates, so the mode under-measured the carry work
+          // it documents; both widths pruned identically, so the RATIO was
+          // fair — the WORK was not what the comment claimed)
+          .agg(
+            count(lit(1)), sum(col("session_id")), sum(col("v_lag1")),
+            count(col("pv0_filled")), sum(col("pv0_filled")))
       else
         ops.AsOfJoin
           .asOf(probes, build, "entity", "ts", Seq("v"), width)
@@ -242,7 +250,10 @@ object SkewBench {
             .frameWindows(
               bSlice, "entity", "ts", w, gap = 5L,
               locfCols = Seq("pv0"), lagCols = Seq("v"))
-            .agg(count(lit(1))).head()
+            // reference the same outputs as the measured probe so the
+            // warm-up codegens the same (un-pruned) operators
+            .agg(count(lit(1)), sum(col("session_id")), sum(col("v_lag1")),
+              count(col("pv0_filled"))).head()
         else
           ops.AsOfJoin
             .asOf(probes.where(col("ts") % 8 === 0), bSlice, "entity", "ts", Seq("v"), w)

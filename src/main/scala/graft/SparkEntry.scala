@@ -779,8 +779,13 @@ object SparkEntry {
     "q_token_count" -> ((s, dir) =>
       graft.text.TextAnalysis.tokenCounts(s.read.parquet(s"$dir/documents.parquet"), "text")
         .select(col("doc_id"), col("n_ws_tokens"), col("n_word_tokens"))),
+    // the tf relation is staged (r7 directive #2): its two consumers — the
+    // tf×idf join and the df aggregation — are a ReuseExchange-defeating
+    // diamond, so unstaged the plan tokenized the whole corpus twice
     "q_tfidf" -> ((s, dir) =>
-      graft.text.TextAnalysis.tfidf(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
+      graft.text.TextAnalysis.tfidf(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        stage = driverStage("tfidf"))),
     // deterministic hash split: seed-stable train/val/test assignment by
     // key (md5 buckets — rand()/TABLESAMPLE are partition/order-dependent)
     "q_hash_split" -> ((s, dir) => {

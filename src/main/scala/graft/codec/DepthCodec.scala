@@ -130,11 +130,15 @@ object DepthCodec {
     // OFF) and compares __part as the raw directory string: an inference-ON
     // read would re-type e.g. a "0001" entity directory to int 1, silently
     // counting 0 rows after a successful write (round-3 advice — the exact
-    // failure mode readStringParts was introduced to fix).
+    // failure mode readStringParts was introduced to fix). The filter goes
+    // through Resume.filterToValues (round-6 directive #4): beyond 1000
+    // entities the In-list would bloat every plan copy with the whole
+    // list, so it switches to a broadcast semi-join.
     val wrote = df.select(col(entityCol).cast("string")).distinct()
       .collect().map(_.getString(0))
-    graft.ops.Resume.readStringParts(df.sparkSession, outDir)
-      .where(col("__part").isin(wrote.toSeq: _*))
+    graft.ops.Resume.filterToValues(
+      graft.ops.Resume.readStringParts(df.sparkSession, outDir),
+      "__part", wrote.toSeq, org.apache.spark.sql.types.StringType)
       .count()
   }
 }

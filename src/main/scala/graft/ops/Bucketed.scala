@@ -50,8 +50,10 @@ object Bucketed {
     // renders — without materializing the result set on the driver the way
     // collect() would (only per-partition counts come back).
     df.queryExecution.toRdd.count()
-    "Exchange (?:hash|range)partitioning".r
-      .findAllIn(df.queryExecution.executedPlan.toString)
-      .size
+    // AQE's render appends the pre-execution plan under "== Initial Plan
+    // ==" — count only the FINAL section, or every exchange (including
+    // ones AQE replaced with ReusedExchange) is double-counted.
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    "Exchange (?:hash|range)partitioning".r.findAllIn(plan).size
   }
 }

@@ -63,8 +63,12 @@ object Resume {
   /** Filter `df` to rows whose `colName` is one of `values`: literal In-list
     * when small (prunable, no extra plan nodes), broadcast left-semi join
     * when large — an In-list over 10^5 partitions bloats the analyzed plan
-    * and driver memory (every expression copy carries the whole list). */
-  private def filterToValues(
+    * and driver memory (every expression copy carries the whole list). The
+    * semi-join branch still partition-prunes `__part` directory columns at
+    * the scan via dynamic partition pruning. Shared with the other
+    * partitioned sinks (DepthCodec) — every collected-values filter in the
+    * engine goes through this one switch. */
+  private[graft] def filterToValues(
       df: DataFrame,
       colName: String,
       values: Seq[Any],
@@ -211,8 +215,12 @@ object Resume {
       .distinct()
       .collect()
       .map(_.get(0).toString)
-    readDataStringParts(spark, outDir)
-      .where(col("__part").isin(parts.toSeq: _*))
+    // filterToValues, not a bare isin (round-6 directive #4): past 1000
+    // partitions the In-list becomes a broadcast semi-join, keeping the
+    // plan (and the driver's copies of it) O(1) in partition count
+    filterToValues(
+      readDataStringParts(spark, outDir), "__part", parts.toSeq,
+      org.apache.spark.sql.types.StringType)
   }
 
   /** Full per-partition audit report in ONE data pass: manifest lineage

@@ -161,26 +161,40 @@ object Similarity {
       if (maxBucketSize <= 0) c0
       else {
         // The guard makes this path EAGER by design (it is opt-in): the
-        // bucket histogram is aggregated ONCE into a localCheckpoint —
-        // after the aggregate it is at most tables × 2^bits tiny rows — so
-        // the dropped-bucket log costs a free count() on the staged
-        // relation and the anti-join reads the same blocks instead of
-        // re-scanning the exploded corpus (review finding r6: the first
-        // cut ran the corpus-wide histogram twice, once just for the log).
-        val hot = c0
+        // bucket histogram is aggregated ONCE and — being at most
+        // tables × 2^bits rows AFTER the aggregate — collected to the
+        // driver, so the dropped-bucket log is a length check and the
+        // anti-join probes a broadcast LITERAL relation built from the
+        // collected rows. (The first cut ran the corpus-wide histogram
+        // twice — review finding r6; the second staged it via
+        // localCheckpoint, whose blocks leaked in the block manager for
+        // the session lifetime — round-6 advice #3. The collect is
+        // bounded by the bucket space, never the corpus.)
+        // (tbl, sig) are both int: posexplode's index and the signature
+        // array's elements — the literal relation must match exactly so
+        // the anti-join keys need no cast
+        val hotSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(
+            "tbl", org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField(
+            "sig", org.apache.spark.sql.types.IntegerType)))
+        val hotRows = c0
           .groupBy(col("tbl"), col("sig"))
           .agg(count(lit(1)).as("__n"))
           .where(col("__n") > maxBucketSize)
-          .select("tbl", "sig")
-          .localCheckpoint()
-        val nHot = hot.count()
-        if (nHot > 0)
+          .select(col("tbl").cast("int"), col("sig").cast("int"))
+          .collect()
+        if (hotRows.isEmpty) c0
+        else {
           org.slf4j.LoggerFactory
             .getLogger(getClass)
             .warn(
-              s"annLsh hot-bucket guard: dropping $nHot/(${tables}x2^$bitsPerTable) buckets " +
-                s"holding > $maxBucketSize corpus rows each")
-        c0.join(broadcast(hot), Seq("tbl", "sig"), "left_anti")
+              s"annLsh hot-bucket guard: dropping ${hotRows.length}/(${tables}x2^$bitsPerTable) " +
+                s"buckets holding > $maxBucketSize corpus rows each")
+          val hot = corpus.sparkSession.createDataFrame(
+            java.util.Arrays.asList(hotRows: _*), hotSchema)
+          c0.join(broadcast(hot), Seq("tbl", "sig"), "left_anti")
+        }
       }
     val q = queries
       .select(

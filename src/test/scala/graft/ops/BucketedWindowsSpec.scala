@@ -85,4 +85,42 @@ class BucketedWindowsSpec extends SparkSpec {
         s"entity-alone exchange over a non-summary relation:\n${lines(i)}\n$child")
     }
   }
+
+  test("broadcastCarries=false: shuffle carry join adds NO exchange on the main side") {
+    // The extreme-scale path (carries too big to broadcast) must reuse the
+    // main side's existing (entity, bucket) partitioning: versus the
+    // broadcast plan it may add exactly ONE shuffle — the tiny carry side
+    // moving into that partitioning — and nothing on the big relation
+    // (round-6 directive #5). Auto-broadcast is disabled for the check so
+    // AQE cannot silently convert the shuffle join back to broadcast.
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val prev = keys.map(k => k -> conf.getOption(k))
+    keys.foreach(conf.set(_, "-1"))
+    try {
+      def build(bc: Boolean) = BucketedWindows.frameWindows(
+        df, "entity", "ts", W, Gap,
+        locfCols = Seq("cap"), lagCols = Seq("v"), broadcastCarries = bc)
+      val cols =
+        Seq("entity", "ts", "cap_filled", "v_lag1", "is_session_start", "session_id")
+      val a = build(true).select(cols.map(col): _*)
+        .orderBy("entity", "ts").collect().map(_.toSeq).toSeq
+      val b = build(false).select(cols.map(col): _*)
+        .orderBy("entity", "ts").collect().map(_.toSeq).toSeq
+      assert(a == b, "broadcast and shuffle carry joins must agree row-for-row")
+      val nBroadcast = Bucketed.exchangeCount(build(true))
+      val shuffled = build(false)
+      val nShuffled = Bucketed.exchangeCount(shuffled)
+      val plan = shuffled.queryExecution.executedPlan.toString
+      assert(
+        plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"carry join should be a shuffle join with broadcast off:\n$plan")
+      assert(
+        nShuffled == nBroadcast + 1,
+        s"broadcast-off must add ONLY the carry-side exchange " +
+          s"(broadcast=$nBroadcast shuffled=$nShuffled):\n$plan")
+    } finally prev.foreach { case (k, v) => v.fold(conf.unset(k))(conf.set(k, _)) }
+  }
 }
