@@ -811,14 +811,26 @@ object SparkEntry {
         stage.resolve("events.parquet"))
       val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt")
       val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val q = graft.streaming.StreamingFeatures
-        .tumblingAgg(s.readStream.schema(schema).parquet(stage.toString), "1 day", "0 seconds")
-        .writeStream
-        .outputMode("complete")
-        .format("memory")
-        .queryName("q_streaming_tumbling_sink")
-        .option("checkpointLocation", ckpt.toString)
-        .start()
+      // same scoped state-store override as q_streaming_session: stateful
+      // cost here is per-batch store instances (one per shuffle partition),
+      // not data volume. The single-batch complete-mode agg is less
+      // store-bound than the 3-batch session query (r7 A/B: 32→3.7-3.9 s
+      // warm, 4→3.4-6.0 s — within noise), but fewer stores never hurts
+      // at this state size, so it shares the graft.stream.shuffle default.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set(
+        "spark.sql.shuffle.partitions",
+        sys.props.getOrElse("graft.stream.shuffle", "4"))
+      val q =
+        try graft.streaming.StreamingFeatures
+          .tumblingAgg(s.readStream.schema(schema).parquet(stage.toString), "1 day", "0 seconds")
+          .writeStream
+          .outputMode("complete")
+          .format("memory")
+          .queryName("q_streaming_tumbling_sink")
+          .option("checkpointLocation", ckpt.toString)
+          .start()
+        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       try {
         q.processAllAvailable()
       } finally {
@@ -883,10 +895,18 @@ object SparkEntry {
       // scoped shuffle-partition override: stateful streaming cost is
       // dominated by per-batch state-store instances (one per shuffle
       // partition per batch), not data volume at this scale — the query
-      // runs 3 micro-batches; 8 stores instead of 32 is ~2× wall. The
+      // runs 3 micro-batches. r7 warm-JVM A/B (graft.stream.shuffle):
+      // quiet window 8→8.3-9.1 s / 4→5.2-5.5 s / 2→5.8-6.5 s (2 under-
+      // parallelizes the data pass); a later load-2.3 window showed 4≈8
+      // within noise — 4 is kept as the default (fewer stores never hurts
+      // at this state size, ~1.6× in a quiet window). The state-store
+      // maintenanceInterval knob is a no-op at this duration (60 s default
+      // never fires inside a seconds-long query; A/B'd at 600 s). The
       // stream captures the conf at start(); restored right after.
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set(
+        "spark.sql.shuffle.partitions",
+        sys.props.getOrElse("graft.stream.shuffle", "4"))
       // gap + 1 µs: session_window merges only while next < last + gap
       // (strict), the batch Sessionize splits only when diff > gap — on
       // integer-microsecond timestamps gap+1µs makes the two identical at
