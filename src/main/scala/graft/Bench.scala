@@ -321,6 +321,13 @@ object Bench {
     * (the recorded 8→32 sits below even the pure-CPU control's own 8→32,
     * so the machine ceiling — not the plan — binds the recorded pair). */
   @volatile private var note32: Option[String] = None
+  /** Honesty note on the recorded 2→8 pair (r7): a recorded efficiency
+    * above ~1 is physically impossible for this workload — it means the
+    * 2-thread level only drew crushed windows (rps_2 undersampled), so the
+    * headline is inflated, not good. "deep-2" = a phase-5 top-up draw
+    * landed; "denominator-cut" = the final pair still exceeds 1.02 and
+    * should be read as a lower-bound rps_8 over a weather-cut rps_2. */
+  @volatile private var note28: Option[String] = None
   /** fixture path + per-level draw counts from the scaling phase, kept for
     * the leftover-budget 32-thread draws of phase 5. */
   @volatile private var fixtureState: Option[(String, scala.collection.mutable.Map[Int, Int])] = None
@@ -377,6 +384,7 @@ object Bench {
         rps.toSeq.sortBy(_._1).map { case (c, (_, r)) => f""""rps_$c":$r%.1f""" } ++
         effs.toSeq.sorted.map { case (n, e) => f""""efficiency_$n":$e%.3f""" } ++
         effs.get("2_8").map(e => f""""efficiency":$e%.3f""").toSeq ++
+        note28.map(n => s""""note_2_8":"$n"""").toSeq ++
         note32.map(n => s""""note_8_32":"$n"""").toSeq
     parts.mkString("{", ",", "}")
   }
@@ -808,9 +816,20 @@ object Bench {
         for { l8 <- levelBest.get(8); l32 <- levelBest.get(32) } yield (l32._2 / l8._2) / 4.0
       val prioritize32 =
         recorded832.isEmpty || controlEff.exists(c => recorded832.exists(_ < c))
+      // The symmetric guard for the HEADLINE pair (r7): eff 2→8 > ~1 is
+      // physically impossible here — it flags a crushed 2-thread window
+      // surviving best-of-level as the ONLY denominator sample (every
+      // starred round-6/7 run: 1.038*/1.045*/1.092*/1.096*/1.132*/1.813*).
+      // A time-separated 2-draw is then worth more than any other tail
+      // spend — it can only RAISE rps_2 and bring the recorded pair back
+      // toward the honest converged value.
+      def recorded28: Option[Double] =
+        for { l2 <- levelBest.get(2); l8 <- levelBest.get(8) } yield (l8._2 / l2._2) / 4.0
+      val prioritize2 = levelBest.get(2).isEmpty || recorded28.exists(_ > 1.02)
       val ladder =
-        if (prioritize32) Seq((32, 2, 60L), (8, 2, 90L), (32, 3, 90L), (8, 3, 90L))
-        else Seq((8, 2, 90L), (32, 2, 50L), (8, 3, 90L), (32, 3, 90L))
+        (if (prioritize2) Seq((2, draws(2) + 1, 90L)) else Seq.empty) ++
+          (if (prioritize32) Seq((32, 2, 60L), (8, 2, 90L), (32, 3, 90L), (8, 3, 90L))
+           else Seq((8, 2, 90L), (32, 2, 50L), (8, 3, 90L), (32, 3, 90L)))
       ladder.foreach {
         case (lvl, want, b) =>
           // only a 20 s pad here: this is the final phase, so a mild
@@ -831,6 +850,9 @@ object Bench {
       if (draws(32) >= 2) note32 = Some("deep-32")
       if (controlEff.exists(c => recorded832.forall(_ < c)))
         note32 = Some(note32.fold("control-bound")(n => s"$n,control-bound"))
+      if (draws(2) >= 2) note28 = Some("deep-2")
+      if (recorded28.exists(_ > 1.02))
+        note28 = Some(note28.fold("denominator-cut")(n => s"$n,denominator-cut"))
     }
 
     emitOnce()
