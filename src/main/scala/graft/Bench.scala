@@ -679,8 +679,14 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
         if (!protectedIds.contains(id)) rdd.unpersist(blocking = false)
       }
-    def afterQuery(name: String): Unit =
-      if (name == "q_minhash_lsh")
+    def afterQuery(name: String, ok: Boolean): Unit =
+      if (name == "q_minhash_lsh" && ok)
+        // snapshot-protect the pair graph's blocks ONLY when the owner
+        // completed: a cancelled/failed pass stores no memo (the
+        // computeIfAbsent function threw), so its partial stage blocks
+        // are garbage — protecting them would leak for the loop's
+        // lifetime while the consumer restages fresh ones. On a failed
+        // owner the release branch reclaims the partial blocks instead.
         protectedIds = spark.sparkContext.getPersistentRDDs.keySet.toSet
       else releaseUnprotected()
     def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
@@ -706,7 +712,7 @@ object Bench {
           System.err.println(s"[bench] $name skipped: query deadline ${queriesDeadline}s passed")
           name -> -1.0
         } else name -> runOne(name, fn, queryCap(name, elapsedSec, budgetSec))
-      afterQuery(name)
+      afterQuery(name, entry._2 >= 0)
       acc += entry
       qTimings = acc.toSeq
     }
@@ -775,7 +781,7 @@ object Bench {
           acc(idx) = name -> t2
           qTimings = acc.toSeq
         }
-        afterQuery(name)
+        afterQuery(name, t2 >= 0)
       }
     }
     spark.stop()
