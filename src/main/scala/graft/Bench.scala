@@ -215,9 +215,21 @@ object Bench {
     * never ran). Clamped so even the cap itself can never displace the
     * final emit. One bad query now costs at most its cap; the repair pass
     * retries it (at double the cap) in a later window. */
+  /** Worst-case cancellation grace runGuarded can add past the cap (two
+    * 15 s joins when the group cancel needs full escalation). The cap
+    * clamp reserves it alongside the 18 s final-emit reserve (r7 review:
+    * a bare 15 s floor overrode the clamp entirely, so a query admitted
+    * just inside the deadline could displace the cpu control — the exact
+    * r5/r6 starvation this cap exists to prevent). The 5 s floor keeps
+    * tail-of-budget queries runnable (sub-second queries complete; a
+    * runaway is cancelled almost immediately) instead of skipped. In the
+    * residual pathological case — a query admitted at the deadline that
+    * both hangs AND resists group-cancel for the full grace — the control
+    * box can still be lost, but the final emit cannot. */
+  private val CancelGraceSec = 30L
   private def queryCap(name: String, elapsedSec: Long, budgetSec: Long): Long = {
     val base = math.max(20L, math.ceil(10 * quietRef.getOrElse(name, DefaultQuietRef)).toLong)
-    math.max(15L, math.min(base, budgetSec - 18 - elapsedSec))
+    math.max(5L, math.min(base, budgetSec - 18 - CancelGraceSec - elapsedSec))
   }
 
   private def gcMillis: Long = {
@@ -316,18 +328,8 @@ object Bench {
   @volatile private var scalingState: Option[(Map[Int, (Long, Double)], Map[String, Double])] = None
   @volatile private var skewState: Option[String] = None
   @volatile private var cpuState: Option[String] = None
-  /** Honesty note on the recorded 8→32 pair (round-6 directive #6): either
-    * "deep-32" (a second time-separated 32-draw landed) or "control-bound"
-    * (the recorded 8→32 sits below even the pure-CPU control's own 8→32,
-    * so the machine ceiling — not the plan — binds the recorded pair). */
-  @volatile private var note32: Option[String] = None
-  /** Honesty note on the recorded 2→8 pair (r7): a recorded efficiency
-    * above ~1 is physically impossible for this workload — it means the
-    * 2-thread level only drew crushed windows (rps_2 undersampled), so the
-    * headline is inflated, not good. "deep-2" = a phase-5 top-up draw
-    * landed; "denominator-cut" = the final pair still exceeds 1.02 and
-    * should be read as a lower-bound rps_8 over a weather-cut rps_2. */
-  @volatile private var note28: Option[String] = None
+  // note_2_8 / note_8_32 honesty labels are DERIVED at emit time
+  // (deriveNotes) — see the r7 review note there.
   /** fixture path + per-level draw counts from the scaling phase, kept for
     * the leftover-budget 32-thread draws of phase 5. */
   @volatile private var fixtureState: Option[(String, scala.collection.mutable.Map[Int, Int])] = None
@@ -376,6 +378,31 @@ object Bench {
     } catch { case _: Throwable => () }
   }
 
+  /** Honesty notes for the two recorded pairs, derived from CURRENT state
+    * (r7 review: computing them as phase-5 side effects meant a shutdown-
+    * hook emit before phase 5 shipped an inflated 2→8 with no label —
+    * exactly the unflagged impossible headline the notes exist to prevent).
+    * Pure functions of levelBest / cpuState / draw counts, so every emit
+    * path — normal, SIGTERM, mid-phase — carries them. */
+  private def deriveNotes(effs: Map[String, Double]): Seq[String] = {
+    val draws = fixtureState.map(_._2)
+    val controlEff = cpuState.flatMap(j =>
+      """"efficiency_8_32":([0-9.]+)""".r.findFirstMatchIn(j).map(_.group(1).toDouble))
+    val n28 = Seq(
+      if (draws.exists(_.getOrElse(2, 0) >= 2)) Some("deep-2") else None,
+      if (effs.get("2_8").exists(_ > 1.02)) Some("denominator-cut") else None).flatten
+    val n32 = Seq(
+      if (draws.exists(_.getOrElse(32, 0) >= 2)) Some("deep-32") else None,
+      // .exists on BOTH sides: a missing recorded pair must not claim
+      // "control-bound" about a pair that does not exist (r7 review —
+      // forall was vacuously true on None)
+      if (controlEff.exists(c => effs.get("8_32").exists(_ < c))) Some("control-bound")
+      else None).flatten
+    Seq(
+      if (n28.nonEmpty) Some(s""""note_2_8":"${n28.mkString(",")}"""") else None,
+      if (n32.nonEmpty) Some(s""""note_8_32":"${n32.mkString(",")}"""") else None).flatten
+  }
+
   private def scalingJson(rps: Map[Int, (Long, Double)], effs: Map[String, Double]): String = {
     // "rows" = deepest per-level cumulative measurement (children are
     // time-boxed, so levels report different cumulative row counts)
@@ -384,8 +411,7 @@ object Bench {
         rps.toSeq.sortBy(_._1).map { case (c, (_, r)) => f""""rps_$c":$r%.1f""" } ++
         effs.toSeq.sorted.map { case (n, e) => f""""efficiency_$n":$e%.3f""" } ++
         effs.get("2_8").map(e => f""""efficiency":$e%.3f""").toSeq ++
-        note28.map(n => s""""note_2_8":"$n"""").toSeq ++
-        note32.map(n => s""""note_8_32":"$n"""").toSeq
+        deriveNotes(effs)
     parts.mkString("{", ",", "}")
   }
 
@@ -674,21 +700,19 @@ object Bench {
     // lineage, so releasing those blocks would not recompute, it would
     // FAIL the consumer. Snapshot the owner's surviving RDD ids and keep
     // exactly those.
-    var protectedIds: Set[Int] = Set.empty
-    def releaseUnprotected(): Unit =
+    def afterQuery(): Unit = {
+      // protection is recomputed from the LIVE memo every time (r7 review,
+      // replacing a persisted-RDDs snapshot keyed on the owner query):
+      // exactly the memoized pair graph's own staged RDD survives — the
+      // owner's dead intermediates (signature stage) are released, a memo
+      // built by the CONSUMER after a cancelled owner run is protected,
+      // and a cancelled owner's partial garbage (no memo stored) is
+      // reclaimed like any other query's blocks.
+      val protectedIds = SparkEntry.pairGraphStagedIds(spark, sfDir)
       spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
         if (!protectedIds.contains(id)) rdd.unpersist(blocking = false)
       }
-    def afterQuery(name: String, ok: Boolean): Unit =
-      if (name == "q_minhash_lsh" && ok)
-        // snapshot-protect the pair graph's blocks ONLY when the owner
-        // completed: a cancelled/failed pass stores no memo (the
-        // computeIfAbsent function threw), so its partial stage blocks
-        // are garbage — protecting them would leak for the loop's
-        // lifetime while the consumer restages fresh ones. On a failed
-        // owner the release branch reclaims the partial blocks instead.
-        protectedIds = spark.sparkContext.getPersistentRDDs.keySet.toSet
-      else releaseUnprotected()
+    }
     def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         capSec: Long): Double = {
       val gc0 = gcMillis
@@ -712,7 +736,7 @@ object Bench {
           System.err.println(s"[bench] $name skipped: query deadline ${queriesDeadline}s passed")
           name -> -1.0
         } else name -> runOne(name, fn, queryCap(name, elapsedSec, budgetSec))
-      afterQuery(name, entry._2 >= 0)
+      afterQuery()
       acc += entry
       qTimings = acc.toSeq
     }
@@ -763,25 +787,22 @@ object Bench {
         // of the pipeline it claims to measure. Drop the memo first so the
         // re-run rebuilds and restages — two honest windows of the SAME
         // work, exactly the repair premise. The superseded memo's staged
-        // blocks are released with it (they were the protected set).
-        if (name == "q_minhash_lsh") {
-          SparkEntry.invalidatePairGraph(spark, sfDir)
-          protectedIds = Set.empty
-          releaseUnprotected()
-        }
+        // blocks lose their protection with it (afterQuery recomputes
+        // protection from the live memo, so the next release reclaims them).
+        if (name == "q_minhash_lsh") SparkEntry.invalidatePairGraph(spark, sfDir)
         // repairs run under the same watchdog at DOUBLE the first-pass cap
         // (a watchdog-cancelled first pass proved the cap can bind; the
         // retry exists to outlast a bad window, not to re-lose to it) —
         // still clamped against the final-emit reserve
-        val cap = math.max(15L, math.min(
-          2 * queryCap(name, 0L, budgetSec), budgetSec - 18 - elapsedSec))
+        val cap = math.max(5L, math.min(
+          2 * queryCap(name, 0L, budgetSec), budgetSec - 18 - CancelGraceSec - elapsedSec))
         val t2 = allQ.get(name).map(fn => runOne(name, fn, cap)).getOrElse(-1.0)
         if (t2 >= 0 && (t1 < 0 || t2 < t1)) {
           System.err.println(f"[bench] repair $name: $t1%.2fs -> $t2%.2fs")
           acc(idx) = name -> t2
           qTimings = acc.toSeq
         }
-        afterQuery(name, t2 >= 0)
+        afterQuery()
       }
     }
     spark.stop()
@@ -853,12 +874,8 @@ object Bench {
             }
           }
       }
-      if (draws(32) >= 2) note32 = Some("deep-32")
-      if (controlEff.exists(c => recorded832.forall(_ < c)))
-        note32 = Some(note32.fold("control-bound")(n => s"$n,control-bound"))
-      if (draws(2) >= 2) note28 = Some("deep-2")
-      if (recorded28.exists(_ > 1.02))
-        note28 = Some(note28.fold("denominator-cut")(n => s"$n,denominator-cut"))
+      // the note_2_8 / note_8_32 labels these tail draws influence are
+      // derived from the final state at emit time (deriveNotes)
     }
 
     emitOnce()

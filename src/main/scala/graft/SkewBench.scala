@@ -250,10 +250,12 @@ object SkewBench {
             .frameWindows(
               bSlice, "entity", "ts", w, gap = 5L,
               locfCols = Seq("pv0"), lagCols = Seq("v"))
-            // reference the same outputs as the measured probe so the
-            // warm-up codegens the same (un-pruned) operators
+            // IDENTICAL aggregate list to the measured probe: a differing
+            // list generates a different whole-stage class, so the single
+            // timed rep would pay the Janino compile the warm-up exists
+            // to absorb (r7 review — the first cut omitted sum(pv0_filled))
             .agg(count(lit(1)), sum(col("session_id")), sum(col("v_lag1")),
-              count(col("pv0_filled"))).head()
+              count(col("pv0_filled")), sum(col("pv0_filled"))).head()
         else
           ops.AsOfJoin
             .asOf(probes.where(col("ts") % 8 === 0), bSlice, "entity", "ts", Seq("v"), w)

@@ -147,6 +147,21 @@ object SparkEntry {
   private[graft] def invalidatePairGraph(s: SparkSession, dir: String): Unit =
     pairGraphCache.remove((s, dir))
 
+  /** RDD ids backing the LIVE memoized pair graph (empty when no memo):
+    * exactly the blocks the bench loop's between-query hygiene must keep —
+    * localCheckpoint truncates lineage, so releasing them would FAIL the
+    * memo's next reader, not slow it. Derived from the memo itself rather
+    * than a persisted-RDDs snapshot (r7 review): a snapshot over-protects
+    * the owner's dead intermediates (signature stage) for the loop's
+    * lifetime, and misses a memo built by a non-owner consumer after a
+    * cancelled owner run. */
+  private[graft] def pairGraphStagedIds(s: SparkSession, dir: String): Set[Int] =
+    Option(pairGraphCache.get((s, dir))).toSeq.flatMap { df =>
+      df.queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+      }
+    }.toSet
+
   private def minhashPairGraph(s: SparkSession, dir: String): DataFrame =
     pairGraphCache.computeIfAbsent(
       (s, dir),

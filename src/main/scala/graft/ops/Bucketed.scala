@@ -52,8 +52,13 @@ object Bucketed {
     df.queryExecution.toRdd.count()
     // AQE's render appends the pre-execution plan under "== Initial Plan
     // ==" — count only the FINAL section, or every exchange (including
-    // ones AQE replaced with ReusedExchange) is double-counted.
+    // ones AQE replaced with ReusedExchange) is double-counted. Count per
+    // LINE, anchored past the tree-drawing prefix: a ReusedExchange node
+    // renders as "ReusedExchange [...], Exchange hashpartitioning(...)" —
+    // a reference to the reused shuffle, not a second data movement — and
+    // a substring regex would count it (r7 review).
     val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
-    "Exchange (?:hash|range)partitioning".r.findAllIn(plan).size
+    plan.linesIterator.count(l =>
+      "^[\\s:+*-]*Exchange (?:hash|range)partitioning".r.findFirstIn(l).isDefined)
   }
 }
