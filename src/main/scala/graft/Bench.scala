@@ -168,11 +168,15 @@ object Bench {
   }
 
   /** Quiet-host per-query reference seconds (sf0.1, local[32], host load
-    * < 3 — measured 2026-08-17, round 5). Used ONLY as the repair-pass
-    * trigger: a first-pass timing above 2× its reference (0.5 s absolute
-    * floor) earns one re-run in a later window. Never reported as a result
-    * — the artifact always carries measured wall seconds. A query absent
-    * here (e.g. added later) falls back to [[DefaultQuietRef]]. */
+    * < 3 — round-5 base; the entries that moved ≥25% were refreshed from
+    * round 7's quiet validation run 7 after the staged-tfidf /
+    * streaming-state-store / pair-graph work landed). Used as the
+    * repair-pass trigger (first pass above 2× reference earns one re-run)
+    * and to size the watchdog cap (10×, floor 20 s — every cap keeps ≥2×
+    * headroom over the worst CONTENDED timing observed in rounds 5-7).
+    * Never reported as a result — the artifact always carries measured
+    * wall seconds. A query absent here (e.g. added later) falls back to
+    * [[DefaultQuietRef]]. */
   private val quietRef: Map[String, Double] = Map(
     "q1_agg" -> 1.27, "q_ann_lsh" -> 3.83, "q_ann_recall" -> 1.41,
     "q_ann_topk" -> 0.69, "q_anti_join" -> 0.86, "q_asof_join" -> 0.55,
@@ -183,7 +187,7 @@ object Bench {
     // reads the session-staged pair graph its loop predecessor
     // q_minhash_lsh now owns and pays for — see the loop-order note);
     // q_minhash_lsh gains that one-time stage materialization.
-    "q_dedup_components" -> 3.2, "q_tfidf" -> 0.9, "q_hash_split" -> 0.3,
+    "q_dedup_components" -> 2.0, "q_tfidf" -> 0.7, "q_hash_split" -> 0.3,
     "q_dedup_exact" -> 0.49, "q_depth_clamp" -> 0.26, "q_depth_roundtrip" -> 0.21,
     "q_fingerprint" -> 0.18, "q_grayscale" -> 0.22, "q_histogram" -> 0.45,
     "q_image_meta" -> 1.9, "q_image_pipeline" -> 0.8,
@@ -191,11 +195,11 @@ object Bench {
     "q_interval_join" -> 0.25, "q_join_agg" -> 1.39, "q_json_props" -> 0.16,
     "q_lag_lead" -> 0.19, "q_lang_id" -> 0.25, "q_leakage_audit" -> 0.43,
     "q_locf_backfill" -> 0.18, "q_locf_bucketed" -> 0.23, "q_locf_stateful" -> 0.73,
-    "q_minhash_lsh" -> 4.6, "q_minhash_sig" -> 0.89, "q_ngram_jaccard" -> 3.45,
+    "q_minhash_lsh" -> 4.0, "q_minhash_sig" -> 0.89, "q_ngram_jaccard" -> 3.45,
     "q_percentile" -> 0.44, "q_quality" -> 0.22, "q_range_window" -> 0.17,
-    "q_resume_audit" -> 4.31, "q_resume_manifest" -> 3.64, "q_session_stats" -> 1.07,
+    "q_resume_audit" -> 3.4, "q_resume_manifest" -> 2.8, "q_session_stats" -> 1.07,
     "q_sessionize" -> 0.16, "q_simhash" -> 0.17, "q_sliding_window" -> 0.16,
-    "q_streaming_session" -> 6.49, "q_streaming_tumbling" -> 2.48,
+    "q_streaming_session" -> 4.5, "q_streaming_tumbling" -> 1.6,
     "q_subsample" -> 1.36, "q_token_count" -> 0.20, "q_topk" -> 0.37,
     "q_tumbling_ceil" -> 0.63, "q_tumbling_floor" -> 0.44, "q_tumbling_window" -> 0.71,
     "q_vec_avg" -> 0.47, "q_window_gather" -> 0.37)
