@@ -64,6 +64,12 @@ object ProfileQuery {
           val ms = if (r.end > 0) r.end - r.start else -1L
           println(f"  job=$id%-4d ms=$ms%-7d ${r.desc.take(110)}")
         }
+        // same between-query persisted-block hygiene as the bench loop
+        // (Bench.afterQuery): memo-protection must hold under it
+        val protectedIds = SparkEntry.pairGraphStagedIds(spark, sfDir)
+        spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+          if (!protectedIds.contains(id)) rdd.unpersist(blocking = false)
+        }
       }
     }
     spark.stop()

@@ -330,12 +330,44 @@ object Dedup {
             inv0.join(hot, Seq("s"), "left_semi")
               .groupBy("doc").agg(sort_array(collect_list(col("s"))).as("__hot"))))
       }
-    val sharedCold = inv
-      .select(col("doc").as("doc_a"), col("s"))
-      .join(inv.select(col("doc").as("doc_b"), col("s")), Seq("s"))
-      .where(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("__shared"))
+    // Candidate pair counts from the cold index. With the df guard ON the
+    // per-shingle posting list is bounded by maxDf, so pairs are generated
+    // by ONE groupBy(s) + an in-memory pair expansion (≤ maxDf²/2 structs
+    // per shingle) + one groupBy(pair) — two exchanges of narrow rows.
+    // The previous self-join formulation shuffled the index twice and
+    // sort-merge-joined it (3 exchanges + 2 sorts over the full posting
+    // volume) to produce exactly the same pair rows (r8 optimization,
+    // guide §2.4: same result, one fewer shuffle and no sorts). least/
+    // greatest canonicalizes each pair, so the nondeterministic
+    // collect_list order cannot affect the emitted (doc_a < doc_b) set.
+    // The unguarded mode (maxDf <= 0) keeps the join formulation: an
+    // unbounded posting list must never be collected into one row.
+    val sharedCold =
+      if (maxDf <= 0)
+        inv
+          .select(col("doc").as("doc_a"), col("s"))
+          .join(inv.select(col("doc").as("doc_b"), col("s")), Seq("s"))
+          .where(col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b")
+          .agg(count(lit(1)).as("__shared"))
+      else {
+        val d = col("__docs")
+        val pairs = flatten(
+          transform(
+            sequence(lit(0), size(d) - 2),
+            i => transform(
+              sequence(i + 1, size(d) - 1),
+              j => struct(
+                least(element_at(d, i + 1), element_at(d, j + 1)).as("a"),
+                greatest(element_at(d, i + 1), element_at(d, j + 1)).as("b")))))
+        inv
+          .groupBy(col("s"))
+          .agg(collect_list(col("doc")).as("__docs"))
+          .where(size(d) >= 2)
+          .select(explode(pairs).as("__pair"))
+          .groupBy(col("__pair.a").as("doc_a"), col("__pair.b").as("doc_b"))
+          .agg(count(lit(1)).as("__shared"))
+      }
     val shared = hotPerDoc match {
       case None => sharedCold
       case Some(h) =>
@@ -388,14 +420,27 @@ object Dedup {
       pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
         .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
         .distinct())
-    var labels = stage(edges.select(col("src").as("id"), col("src").as("comp")).distinct())
-    // the staged relation BEHIND `labels` — released once the iteration
-    // that superseded it has finished reading it (its only consumers are
-    // the propagation join and the convergence check of the NEXT round)
-    var prevStaged = labels
+    // Initial labels = min(self, min neighbor) — exactly what the first
+    // propagation round used to compute from self-labels, folded into the
+    // init aggregation instead (r8): one full join round fewer at any
+    // scale. Every vertex appears as `src` (edges are symmetrized).
+    var labels = stage(
+      edges.groupBy(col("src"))
+        .agg(least(col("src"), min(col("dst"))).as("comp"))
+        .select(col("src").as("id"), col("comp")))
+    // Convergence probe (r8, replacing a join+limit+count job per round):
+    // labels only ever DECREASE, so the EXACT decimal sum of all labels
+    // strictly decreases whenever any vertex moved and is unchanged at the
+    // fixpoint — one narrow aggregate over the staged blocks per round.
+    // decimal(38,0) keeps the sum exact for up to ~10^19 vertices of max
+    // long ids (n·maxId < 10^38), where a long sum could overflow.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
+      val oldLabels = labels
       val prop = edges
         .join(labels.withColumnsRenamed(Map("id" -> "src", "comp" -> "n_comp")), Seq("src"))
         .select(col("dst").as("id"), col("n_comp").as("comp"))
@@ -406,34 +451,28 @@ object Dedup {
       val folded = stage(
         labels.unionByName(prop).groupBy(col("id")).agg(min(col("comp")).as("comp")))
       // pointer jump: comp := comp(comp) where defined — halves the
-      // remaining distance to the component minimum every round
-      val next = folded
-        .join(folded.select(col("id").as("jid"), col("comp").as("jcomp")),
-          col("comp") === col("jid"), "left")
-        .select(col("id"), least(col("comp"), coalesce(col("jcomp"), col("comp"))).as("comp"))
-      // converged iff no vertex's label moved this round (labels only ever
-      // DECREASE, so an equality join finds exactly the movers). Round 0
-      // always moves when any edge exists (labels start as self), so its
-      // check job is skipped — one fewer Spark round-trip per call.
-      val moved =
-        if (iter == 0) 1L
-        else
-          next
-            .join(labels.withColumnRenamed("comp", "prev"), Seq("id"))
-            .where(col("comp") =!= col("prev"))
-            .limit(1).count()
-      converged = moved == 0
-      // `moved` was the last reader of the previous round's staged
-      // relation: this round's `next` depends only on `folded`, so the
-      // superseded checkpoint blocks can go (the returned result keeps the
-      // FINAL `folded` alive — it is released only by session teardown)
-      unstage(prevStaged)
-      prevStaged = folded
+      // remaining distance to the component minimum every round. STAGED
+      // (r8): left lazy, the jump join re-executed once per consumer —
+      // the convergence probe, the next round's propagation join and the
+      // next round's fold each re-ran it (3× per round).
+      val next = stage(
+        folded
+          .join(folded.select(col("id").as("jid"), col("comp").as("jcomp")),
+            col("comp") === col("jid"), "left")
+          .select(col("id"), least(col("comp"), coalesce(col("jcomp"), col("comp"))).as("comp")))
+      val curSum = labelSum(next)
+      converged = curSum.compareTo(prevSum) == 0
+      prevSum = curSum
+      // `next` is self-contained blocks: this round's intermediate fold
+      // (read only while staging `next`) and the superseded labels (read
+      // only by this round's propagation + fold) have no remaining readers
+      unstage(folded)
+      unstage(oldLabels)
       labels = next
       iter += 1
     }
-    // edges fed every propagation join but the result depends only on the
-    // final labels — release them too
+    // the final staged `next` (= labels, the returned result) stays alive;
+    // edges fed only the propagation joins — release them
     unstage(edges)
     if (!converged)
       throw new IllegalStateException(

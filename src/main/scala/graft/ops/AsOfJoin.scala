@@ -204,8 +204,18 @@ object AsOfJoin {
     // Range partitioning keeps every (entity, bucket) group in one partition
     // (equal keys compare equal → same range) while spreading a hot entity's
     // buckets across many partitions — the explicit skew treatment.
+    //
+    // The RangePartitioner SAMPLES its input to place the split bounds,
+    // which executes the input subtree twice: once for the sample job, once
+    // for the real shuffle (r8 measurement: the build-dedupe groupBy and the
+    // carry window both ran twice). A lazy local checkpoint materializes the
+    // union on its first (sampling) pass; the shuffle pass then re-reads the
+    // blocks — the same bytes the exchange moves anyway, held once in the
+    // block manager / local disk (the cluster-scale analogue is a parquet
+    // pre-stage, exactly the `stage` contract prepUnion already documents).
     val sorted = unioned
       .select(col(entityCol), col(B), col(tsCol), col(TAG), col(PAY), col(PRB))
+      .localCheckpoint(false)
       .repartitionByRange(parts, col(entityCol), col(B))
       .sortWithinPartitions(col(entityCol), col(B), col(tsCol), col(TAG))
 

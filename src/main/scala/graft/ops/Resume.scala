@@ -121,12 +121,30 @@ object Resume {
     val manifest = readManifest(spark, outDir)
     // pending partitions are O(partitions) and capped by maxPartitions —
     // collect ONCE and reuse (count + work filter + read-back pruning).
-    val todoParts = pending(features, partitionCol, manifest)
+    // The same aggregation also yields per-partition row counts (a count
+    // instead of a distinct — identical shuffle), which size the writer
+    // fan-out below.
+    val pendingRows = features
+      .groupBy(col(partitionCol).as("partition"))
+      .agg(count(lit(1)).as("__rows"))
+      .join(broadcast(manifest.select("partition")), Seq("partition"), "left_anti")
       .orderBy("partition")
       .limit(maxPartitions)
       .collect()
-      .map(_.get(0))
+    val todoParts = pendingRows.map(_.get(0))
     if (todoParts.isEmpty) return 0L
+    // Writer fan-out per partition (the hot-partition salt), sized from the
+    // DATA instead of a constant (guide §6: target file sizes; a fixed salt
+    // of 8 wrote 8 near-empty files per partition at small volume — 8× the
+    // footer/open/commit cost on every read-back — while still capping
+    // write parallelism at 8 for a genuinely hot partition). One writer per
+    // ~200k rows (≈ tens of MB at this row width; override via
+    // -Dgraft.resume.rowsPerWriter for other widths), clamped to [1, 8] —
+    // the old constant is now the ceiling, reached exactly when a partition
+    // is hot enough to need it.
+    val rowsPerWriter = sys.props.getOrElse("graft.resume.rowsPerWriter", "200000").toLong
+    val maxPartRows = pendingRows.map(_.getLong(1)).max
+    val salt = math.max(1L, math.min(8L, (maxPartRows + rowsPerWriter - 1) / rowsPerWriter))
 
     val work = filterToValues(
       features, partitionCol, todoParts.toSeq, features.schema(partitionCol).dataType)
@@ -143,9 +161,12 @@ object Resume {
       // upstream task writes its own file into every partition directory it
       // touches (tasks × partitions small files — footer/task overhead on
       // every later read). Hashing on (__part, salt) bounds the fan-in to
-      // ≤8 files per partition while a hot partition still spreads over 8
-      // writer tasks instead of collapsing onto one.
-      .repartition(col("__part"), pmod(xxhash64(col(tsCol)), lit(8)))
+      // ≤`salt` files per partition while a hot partition still spreads
+      // over `salt` writer tasks instead of collapsing onto one (salt is
+      // data-sized above; 1 at small volume, up to 8 for hot partitions).
+      .repartition(
+        col("__part") +:
+          (if (salt > 1) Seq(pmod(xxhash64(col(tsCol)), lit(salt))) else Nil): _*)
       .write
       .mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")

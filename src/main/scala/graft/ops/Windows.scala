@@ -125,12 +125,19 @@ object Windows {
     require(k >= 2)
     val order: Seq[Column] = col(tsCol) +: tieBreak.map(col)
     val wOrd = Window.partitionBy(col(entityCol), col(groupCol)).orderBy(order: _*)
-    val wAll = Window.partitionBy(col(entityCol), col(groupCol))
     val keepRanks = transform(
       sequence(lit(0), lit(k - 1)),
       i => round(i * (col("__n") - 1) / (k - 1), 0).cast("long"))
     df.withColumn("__rn", row_number().over(wOrd) - 1)
-      .withColumn("__n", count(lit(1)).over(wAll))
+      // partition count over the SAME ordered spec with an unbounded frame
+      // (identical value to an unordered partition window): sharing wOrd
+      // lets Catalyst put both functions in ONE Window operator — the
+      // previous two-spec form planned two Window operators, i.e. two
+      // whole-partition buffering passes per group (r8, guide §2.4)
+      .withColumn(
+        "__n",
+        count(lit(1)).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .where(array_contains(keepRanks, col("__rn")))
       .drop("__rn", "__n")
   }
