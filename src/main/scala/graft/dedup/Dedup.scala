@@ -313,45 +313,36 @@ object Dedup {
     // (same no-self-join-CSE disease as minhashLsh).
     val withSh = stage(shingleDf(docs, idCol, textCol, shingleN))
     val sizes = withSh.select(col("doc"), size(col("sh")).as("sz"))
-    val inv0 = stage(withSh.select(col("doc"), explode(col("sh")).as("s")))
-    // Split the index at the df guard: the COLD side drives the candidate
-    // self-join (pair counts only — no shingle array ever crosses a shuffle,
-    // which is what makes the verify step linear in candidate pairs), the
-    // HOT side collapses to one tiny per-doc array (few shingles exceed
-    // maxDf by definition) used to correct the shared count back to exact.
-    val (inv, hotPerDoc) =
-      if (maxDf <= 0) (inv0, None)
-      else {
-        val hot = inv0.groupBy("s").agg(count(lit(1)).as("df"))
-          .where(col("df") > maxDf).select("s")
+    val inv0 = withSh.select(col("doc"), explode(col("sh")).as("s"))
+    // Guarded path (the default and the scale path): ONE groupBy(s) builds
+    // the per-shingle posting list, and EVERYTHING derives from that staged
+    // relation — posting-list size IS the document frequency, so the df
+    // guard becomes a size predicate; the COLD (df ≤ maxDf) lists expand to
+    // canonicalized pairs in-row (bounded: ≤ maxDf²/2 structs per shingle)
+    // and one groupBy(pair) yields the shared counts; the HOT lists explode
+    // back to one tiny per-doc array used to correct the shared count to
+    // exact. The r7 formulation computed the df aggregation, a left_anti,
+    // a left_semi, a posting self-join (sort-merge over the full index) and
+    // a hot re-aggregation — five index-wide shuffles; this is two, with
+    // identical output (guide §2.4). least/greatest canonicalizes each
+    // pair, so the nondeterministic collect_list order cannot affect the
+    // emitted (doc_a < doc_b) set. The unguarded mode (maxDf <= 0) keeps
+    // the join formulation: an unbounded posting list must never be
+    // collected into one row.
+    val (sharedCold, hotPerDoc) =
+      if (maxDf <= 0) {
+        val inv = stage(inv0)
         (
-          inv0.join(hot, Seq("s"), "left_anti"),
-          Some(
-            inv0.join(hot, Seq("s"), "left_semi")
-              .groupBy("doc").agg(sort_array(collect_list(col("s"))).as("__hot"))))
-      }
-    // Candidate pair counts from the cold index. With the df guard ON the
-    // per-shingle posting list is bounded by maxDf, so pairs are generated
-    // by ONE groupBy(s) + an in-memory pair expansion (≤ maxDf²/2 structs
-    // per shingle) + one groupBy(pair) — two exchanges of narrow rows.
-    // The previous self-join formulation shuffled the index twice and
-    // sort-merge-joined it (3 exchanges + 2 sorts over the full posting
-    // volume) to produce exactly the same pair rows (r8 optimization,
-    // guide §2.4: same result, one fewer shuffle and no sorts). least/
-    // greatest canonicalizes each pair, so the nondeterministic
-    // collect_list order cannot affect the emitted (doc_a < doc_b) set.
-    // The unguarded mode (maxDf <= 0) keeps the join formulation: an
-    // unbounded posting list must never be collected into one row.
-    val sharedCold =
-      if (maxDf <= 0)
-        inv
-          .select(col("doc").as("doc_a"), col("s"))
-          .join(inv.select(col("doc").as("doc_b"), col("s")), Seq("s"))
-          .where(col("doc_a") < col("doc_b"))
-          .groupBy("doc_a", "doc_b")
-          .agg(count(lit(1)).as("__shared"))
-      else {
+          inv
+            .select(col("doc").as("doc_a"), col("s"))
+            .join(inv.select(col("doc").as("doc_b"), col("s")), Seq("s"))
+            .where(col("doc_a") < col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(count(lit(1)).as("__shared")),
+          None)
+      } else {
         val d = col("__docs")
+        val postings = stage(inv0.groupBy(col("s")).agg(collect_list(col("doc")).as("__docs")))
         val pairs = flatten(
           transform(
             sequence(lit(0), size(d) - 2),
@@ -360,13 +351,17 @@ object Dedup {
               j => struct(
                 least(element_at(d, i + 1), element_at(d, j + 1)).as("a"),
                 greatest(element_at(d, i + 1), element_at(d, j + 1)).as("b")))))
-        inv
-          .groupBy(col("s"))
-          .agg(collect_list(col("doc")).as("__docs"))
-          .where(size(d) >= 2)
-          .select(explode(pairs).as("__pair"))
-          .groupBy(col("__pair.a").as("doc_a"), col("__pair.b").as("doc_b"))
-          .agg(count(lit(1)).as("__shared"))
+        (
+          postings
+            .where(size(d) >= 2 && size(d) <= maxDf)
+            .select(explode(pairs).as("__pair"))
+            .groupBy(col("__pair.a").as("doc_a"), col("__pair.b").as("doc_b"))
+            .agg(count(lit(1)).as("__shared")),
+          Some(
+            postings
+              .where(size(d) > maxDf)
+              .select(col("s"), explode(d).as("doc"))
+              .groupBy("doc").agg(sort_array(collect_list(col("s"))).as("__hot"))))
       }
     val shared = hotPerDoc match {
       case None => sharedCold

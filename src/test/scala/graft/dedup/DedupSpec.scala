@@ -129,4 +129,20 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.size == 40 && got.values.forall(_ == 1L))
   }
+
+  test("ngram jaccard df-guard (r8 posting-list form): guarded == unguarded where both emit") {
+    // real corpus + a tiny maxDf so MANY shingles go hot: exercises the
+    // r8 pair-explode + hot-array correction against the unguarded join
+    // formulation. The guard may only LOSE pure-boilerplate pairs (every
+    // shared shingle hot); every pair it emits must carry the EXACT J.
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val guarded = toMap(Dedup.ngramJaccard(real, "doc_id", "text", tau = 0.3, maxDf = 3))
+    val exact = toMap(Dedup.ngramJaccard(real, "doc_id", "text", tau = 0.3, maxDf = 0))
+    assert(guarded.nonEmpty, "guard must not wipe out the pair set")
+    guarded.foreach { case (pair, j) =>
+      assert(exact.get(pair).contains(j), s"pair $pair: guarded J $j != exact ${exact.get(pair)}")
+    }
+  }
 }

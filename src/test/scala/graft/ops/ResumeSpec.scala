@@ -135,4 +135,45 @@ class ResumeSpec extends SparkSpec {
     assert(bad.count() == 1L)
     assert(bad.head().getString(0) == "e0000")
   }
+
+  test("writer salt adapts to volume: 1 file/partition small, capped fan-out hot (r8)") {
+    import scala.jdk.CollectionConverters._
+    def dataFiles(out: String, part: String): Seq[java.nio.file.Path] = {
+      val d = Paths.get(s"$out/data/__part=$part")
+      Files.list(d).iterator().asScala.filter(_.toString.endsWith(".parquet")).toSeq
+    }
+    val small = freshDir("salt_small")
+    Resume.processPending(spark, features, "entity", "ts", "vec", small, 1L)
+    val parts = Files.list(Paths.get(s"$small/data")).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("__part=")).toSeq
+    assert(parts.nonEmpty)
+    parts.foreach { d =>
+      val n = Files.list(d).iterator().asScala.count(_.toString.endsWith(".parquet"))
+      assert(n == 1, s"small-volume partition $d wrote $n files, want 1")
+    }
+    // force the hot path: tiny rows-per-writer budget -> fan-out >1, <=8.
+    // AQE's partition coalescing merges the salted shuffle back to one
+    // task at this volume (exactly what we want in production for small
+    // partitions) — disable it here so the salt's fan-out is observable.
+    sys.props("graft.resume.rowsPerWriter") = "10"
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prevCoalesce = spark.conf.get(coalesceKey)
+    spark.conf.set(coalesceKey, "false")
+    try {
+      val hot = freshDir("salt_hot")
+      Resume.processPending(spark, features, "entity", "ts", "vec", hot, 1L)
+      val counts = Files.list(Paths.get(s"$hot/data")).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("__part="))
+        .map(d => Files.list(d).iterator().asScala.count(_.toString.endsWith(".parquet")))
+        .toSeq
+      assert(counts.exists(_ > 1), s"hot path never fanned out: $counts")
+      assert(counts.forall(_ <= 8), s"fan-out exceeded the 8-writer ceiling: $counts")
+      // layout change must not change the audit result
+      val bad = Resume.audit(spark, hot, "entity", "ts", "vec").count()
+      assert(bad == 0L, "audit must stay clean under salted layout")
+    } finally {
+      sys.props.remove("graft.resume.rowsPerWriter")
+      spark.conf.set(coalesceKey, prevCoalesce)
+    }
+  }
 }

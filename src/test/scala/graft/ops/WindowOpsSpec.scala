@@ -80,4 +80,14 @@ class WindowOpsSpec extends SparkSpec {
       .where($"ts" === 5L).select($"m").head().getDouble(0)
     assert(out == (2.0 + 3.0 + 4.0 + 5.0) / 4)
   }
+
+  test("uniformSubsample plans ONE Window operator (shared spec, r8)") {
+    val df = (0 until 100).map(t => ("e" + t % 3, t % 5, t.toLong)).toDF("entity", "g", "ts")
+    val plan = Windows.uniformSubsample(df, "entity", "g", "ts", 4)
+      .queryExecution.optimizedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.size == 1, s"want one fused Window node, got ${windows.size}")
+  }
 }
