@@ -645,11 +645,7 @@ object SparkEntry {
       val o = s.read.parquet(s"$dir/orders.parquet")
       val c = s.read.parquet(s"$dir/customer.parquet")
       val n = s.read.parquet(s"$dir/nation.parquet")
-      // SHUFFLE_HASH on the orders side (r8, guide §3.1): both sides must
-      // shuffle on orderkey regardless, but hashing the smaller projected
-      // side (orders ≪ lineitem at every scale factor) skips BOTH
-      // sort-merge sorts; the dimension joins stay broadcast.
-      li.join(o.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
@@ -1103,8 +1099,15 @@ object SparkEntry {
     //      write + read-back re-ran the image decode UDF over the fixture ----
     "q_resume_manifest" -> ((s, _) => {
       val out = java.nio.file.Files.createTempDirectory("graft_resume_q").toString
-      val feats = graft.pipeline.FeaturePipeline
-        .frameFeatures(graft.synth.SynthImages.table(s, 6, 64))
+      // decode directly (r8): the job snapshots (entity, ts, vec) only, and
+      // `vec` is the codec UDF output untouched by the window stage —
+      // frameFeatures(...).select(entity, ts, vec) built the whole bucketed
+      // LOCF/session/delta subtree just to drop it. Identical relation.
+      val feats = graft.synth.SynthImages
+        .withEntityTs(graft.synth.SynthImages.table(s, 6, 64))
+        .withColumn("vec", graft.codec.ImageCodec.imageFeaturesCol(
+          col("bytes"), graft.pipeline.FeaturePipeline.ResizeTo,
+          graft.pipeline.FeaturePipeline.CropTo))
         .select(col("entity"), col("ts"), col("vec"))
         .localCheckpoint()
       Resume.processPending(s, feats, "entity", "ts", "vec", out, 1L, maxPartitions = 2)
