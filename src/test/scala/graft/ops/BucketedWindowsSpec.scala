@@ -1,5 +1,7 @@
 package graft.ops
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -93,15 +95,22 @@ class BucketedWindowsSpec extends SparkSpec {
     // moving into that partitioning — and nothing on the big relation
     // (round-6 directive #5). Auto-broadcast is disabled for the check so
     // AQE cannot silently convert the shuffle join back to broadcast.
-    val conf = spark.conf
+    // The override runs on a CLONED session (r7 advice #2): suites share
+    // one SparkSession and run concurrently, so flipping the session-global
+    // threshold could flake sibling plan-shape assertions (and this test's
+    // own exchange counts) while a neighbour's query plans in the window.
+    // newSession() shares the SparkContext but isolates the SQL conf.
+    val session2 = spark.newSession()
+    val conf = session2.conf
     val keys = Seq(
       "spark.sql.autoBroadcastJoinThreshold",
       "spark.sql.adaptive.autoBroadcastJoinThreshold")
     val prev = keys.map(k => k -> conf.getOption(k))
     keys.foreach(conf.set(_, "-1"))
     try {
+      val df2 = session2.createDataFrame(df.collect().toSeq.asJava, df.schema)
       def build(bc: Boolean) = BucketedWindows.frameWindows(
-        df, "entity", "ts", W, Gap,
+        df2, "entity", "ts", W, Gap,
         locfCols = Seq("cap"), lagCols = Seq("v"), broadcastCarries = bc)
       val cols =
         Seq("entity", "ts", "cap_filled", "v_lag1", "is_session_start", "session_id")
