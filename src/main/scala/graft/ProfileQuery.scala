@@ -2,13 +2,15 @@ package graft
 
 import scala.collection.concurrent.TrieMap
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
 
-/** Per-query job/stage profiler (optimization-round tooling, NOT part of the
+/** Per-query job profiler (optimization-round tooling, NOT part of the
   * frozen bench contract): runs driver queries exactly like the bench loop
-  * (same session shape, same count() action) and prints one line per Spark
-  * job — wall ms, stage count, task count, description — so a query's cost
-  * decomposes into its eager staging jobs vs the final count.
+  * (same session shape, same count() action, same between-query persisted-
+  * block hygiene) and prints one line per Spark job — wall ms and job
+  * description — so a query's cost decomposes into its eager staging jobs
+  * vs the final count, and wall − sum(jobs) exposes driver-side
+  * planning/codegen time.
   *
   * args: name[,name...] [sfDir] [cpus] [reps]
   */
@@ -29,9 +31,7 @@ object ProfileQuery {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    final case class JobRec(
-        start: Long, var end: Long = -1L, var stages: Int = 0, var tasks: Int = 0,
-        desc: String)
+    final case class JobRec(start: Long, var end: Long = -1L, desc: String)
     val jobs = TrieMap.empty[Int, JobRec]
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit =
@@ -41,7 +41,6 @@ object ProfileQuery {
             .flatMap(p => Option(p.getProperty("spark.job.description"))).getOrElse(""))
       override def onJobEnd(je: SparkListenerJobEnd): Unit =
         jobs.get(je.jobId).foreach(_.end = je.time)
-      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = ()
     })
 
     // session warm-up exactly like Bench.main

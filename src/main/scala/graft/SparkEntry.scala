@@ -201,10 +201,18 @@ object SparkEntry {
     df
   }
 
-  /** Read the staged relation under `tag`, building it only if no owner has
-    * yet (out-of-order callers, e.g. Verify's unordered map). */
+  /** Read the staged relation under `tag`, or build a TRANSIENT copy when
+    * no owner has published one (out-of-order callers, e.g. Verify's
+    * unordered map; an owner whose run was watchdog-cancelled). The
+    * fallback build is deliberately NOT stored (r8 review): if a consumer's
+    * first pass had to build and its memoized copy were published, a bench
+    * repair re-run of that same consumer would read the memo and time a
+    * cache hit for work its first pass actually did — the exact
+    * cache-hit-timing hole invalidatePairGraph exists to close, but with no
+    * frozen-harness hook for these tags. Unmemoized, first pass and repair
+    * do identical work. */
   private def reuseStage(s: SparkSession, tag: String)(build: => DataFrame): DataFrame =
-    sharedStageCache.computeIfAbsent((s, tag), _ => build)
+    Option(sharedStageCache.get((s, tag))).getOrElse(build)
 
   /** The LSH ANN relation (query_id, rank, nn_id, cos) over the embeddings
     * table — q_ann_lsh's declared output, and q_ann_recall's ann side.
@@ -919,7 +927,7 @@ object SparkEntry {
       // same scoped state-store override as q_streaming_session: stateful
       // cost here is per-batch store instances (one per shuffle partition),
       // not data volume. The single-batch complete-mode agg is less
-      // store-bound than the 3-batch session query (r7 A/B: 32→3.7-3.9 s
+      // store-bound than the 2-batch session query (r7 A/B: 32→3.7-3.9 s
       // warm, 4→3.4-6.0 s — within noise), but fewer stores never hurts
       // at this state size, so it shares the graft.stream.shuffle default.
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
@@ -952,12 +960,13 @@ object SparkEntry {
     //      against the same oracle family as q_session_stats. Append mode
     //      with a 0s watermark only emits a session once the watermark
     //      passes its end, and the watermark only advances between batches,
-    //      so the stage dir feeds three single-file batches
-    //      (maxFilesPerTrigger=1): the real events, then two far-future
-    //      sentinel batches for one user — sentinel #1 advances the
-    //      watermark past every real session end, sentinel #2 triggers the
-    //      eviction pass. The sentinel sessions themselves end beyond the
-    //      final watermark and are never emitted (defensive filter anyway) ----
+    //      so the stage dir feeds TWO batches (maxFilesPerTrigger=2, r8):
+    //      batch 1 = the real events plus far-future sentinel #1 (its
+    //      session is disjoint from every real one, and it advances the
+    //      end-of-batch watermark past every real session end), batch 2 =
+    //      sentinel #2, which triggers the eviction pass that emits them.
+    //      The sentinel sessions themselves end beyond the final watermark
+    //      and are never emitted (defensive filter anyway) ----
     "q_streaming_session" -> ((s, dir) => {
       import java.nio.file.{Files, Paths}
       val stage = Files.createTempDirectory("graft_stream_sess")
@@ -972,16 +981,29 @@ object SparkEntry {
       // session AND bound the output filter below (no max(ts) job needed).
       val row1 = events.limit(1).collect()(0)
       val tsIdx = schema.fieldIndex("ts")
-      val sentinel1Us = {
-        val t = row1.getAs[java.time.LocalDateTime](tsIdx).plusDays(60)
-        t.toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L +
-          t.getNano / 1000L
+      // type-robust +days shift (r8 review): ts is TIMESTAMP_NTZ today
+      // (LocalDateTime externally), but a fixture read back as a plain
+      // TIMESTAMP (Instant/java.sql.Timestamp) must shift, not crash
+      def shiftDays(v: Any, days: Long): Any = v match {
+        case t: java.time.LocalDateTime => t.plusDays(days)
+        case t: java.time.Instant => t.plus(java.time.Duration.ofDays(days))
+        case t: java.sql.Timestamp =>
+          java.sql.Timestamp.from(t.toInstant.plus(java.time.Duration.ofDays(days)))
+        case other => throw new IllegalStateException(s"unexpected ts type: $other")
       }
+      def toUs(v: Any): Long = v match {
+        case t: java.time.LocalDateTime =>
+          t.toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L + t.getNano / 1000L
+        case t: java.time.Instant => t.getEpochSecond * 1000000L + t.getNano / 1000L
+        case t: java.sql.Timestamp =>
+          t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+        case other => throw new IllegalStateException(s"unexpected ts type: $other")
+      }
+      val sentinel1Us = toUs(shiftDays(row1.get(tsIdx), 60))
       Seq(1, 2).foreach { i =>
         val tmp = Files.createTempDirectory(s"graft_sess_sent$i")
         val shifted = org.apache.spark.sql.Row.fromSeq(
-          row1.toSeq.updated(
-            tsIdx, row1.getAs[java.time.LocalDateTime](tsIdx).plusDays(60L * i)))
+          row1.toSeq.updated(tsIdx, shiftDays(row1.get(tsIdx), 60L * i)))
         s.createDataFrame(java.util.Collections.singletonList(shifted), schema)
           .coalesce(1)
           .write.mode("overwrite").parquet(tmp.toString)
@@ -1003,7 +1025,8 @@ object SparkEntry {
       // a modtime tie (coarse fs granularity, fast copy/move) could schedule
       // a sentinel batch first, advancing the 0s-delay watermark 60 days and
       // dropping every real event as late. Strictly increasing explicit
-      // modtimes make the 3-batch protocol deterministic.
+      // modtimes make the 2-batch protocol deterministic (batch 1 = the two
+      // oldest files, batch 2 = the third).
       Seq("0_events.parquet", "1_sentinel.parquet", "2_sentinel.parquet").zipWithIndex
         .foreach { case (f, i) =>
           Files.setLastModifiedTime(
@@ -1014,7 +1037,7 @@ object SparkEntry {
       // scoped shuffle-partition override: stateful streaming cost is
       // dominated by per-batch state-store instances (one per shuffle
       // partition per batch), not data volume at this scale — the query
-      // runs 3 micro-batches. r7 warm-JVM A/B (graft.stream.shuffle):
+      // runs 2 micro-batches (r8). r7 warm-JVM A/B (graft.stream.shuffle):
       // quiet window 8→8.3-9.1 s / 4→5.2-5.5 s / 2→5.8-6.5 s (2 under-
       // parallelizes the data pass); a later load-2.3 window showed 4≈8
       // within noise — 4 is kept as the default (fewer stores never hurts

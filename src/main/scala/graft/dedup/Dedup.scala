@@ -314,21 +314,22 @@ object Dedup {
     val withSh = stage(shingleDf(docs, idCol, textCol, shingleN))
     val sizes = withSh.select(col("doc"), size(col("sh")).as("sz"))
     val inv0 = withSh.select(col("doc"), explode(col("sh")).as("s"))
-    // Guarded path (the default and the scale path): ONE groupBy(s) builds
-    // the per-shingle posting list, and EVERYTHING derives from that staged
-    // relation — posting-list size IS the document frequency, so the df
-    // guard becomes a size predicate; the COLD (df ≤ maxDf) lists expand to
-    // canonicalized pairs in-row (bounded: ≤ maxDf²/2 structs per shingle)
-    // and one groupBy(pair) yields the shared counts; the HOT lists explode
-    // back to one tiny per-doc array used to correct the shared count to
-    // exact. The r7 formulation computed the df aggregation, a left_anti,
-    // a left_semi, a posting self-join (sort-merge over the full index) and
-    // a hot re-aggregation — five index-wide shuffles; this is two, with
-    // identical output (guide §2.4). least/greatest canonicalizes each
-    // pair, so the nondeterministic collect_list order cannot affect the
-    // emitted (doc_a < doc_b) set. The unguarded mode (maxDf <= 0) keeps
-    // the join formulation: an unbounded posting list must never be
-    // collected into one row.
+    // Guarded path (the default and the scale path, r8): the df guard stays
+    // a COUNT aggregation (a hot boilerplate shingle's posting list must
+    // never be collected into one row — at 10^12 docs that single row is an
+    // OOM; counts are bounded regardless of df). The hot set is tiny by
+    // definition, so dropping it from the index is a broadcast anti-join
+    // (no extra index shuffle). The now provably bounded COLD posting lists
+    // (≤ maxDf docs each) are then built by ONE groupBy(s) and expanded to
+    // canonicalized pairs in-row (`least/greatest`, ≤ maxDf²/2 structs per
+    // shingle) + one groupBy(pair) — replacing the r7 sort-merge self-join
+    // of the index (two exchanges + two sorts + a join) with one exchange
+    // and no sorts, identical pair rows (guide §2.3/§2.4: the pair counts
+    // partial-aggregate map-side either way, but nothing is sorted and the
+    // index crosses the wire once). collect_list order cannot affect the
+    // emitted set (pairs canonicalized, hot arrays sorted). The unguarded
+    // mode (maxDf <= 0) keeps the join formulation: with no guard there is
+    // no df bound, so no posting list may be materialized per-row at all.
     val (sharedCold, hotPerDoc) =
       if (maxDf <= 0) {
         val inv = stage(inv0)
@@ -341,8 +342,12 @@ object Dedup {
             .agg(count(lit(1)).as("__shared")),
           None)
       } else {
+        val invS = stage(inv0)
+        val hot = invS.groupBy("s").agg(count(lit(1)).as("df"))
+          .where(col("df") > maxDf).select("s")
         val d = col("__docs")
-        val postings = stage(inv0.groupBy(col("s")).agg(collect_list(col("doc")).as("__docs")))
+        val postings = invS.join(hot, Seq("s"), "left_anti")
+          .groupBy(col("s")).agg(collect_list(col("doc")).as("__docs"))
         val pairs = flatten(
           transform(
             sequence(lit(0), size(d) - 2),
@@ -353,14 +358,12 @@ object Dedup {
                 greatest(element_at(d, i + 1), element_at(d, j + 1)).as("b")))))
         (
           postings
-            .where(size(d) >= 2 && size(d) <= maxDf)
+            .where(size(d) >= 2)
             .select(explode(pairs).as("__pair"))
             .groupBy(col("__pair.a").as("doc_a"), col("__pair.b").as("doc_b"))
             .agg(count(lit(1)).as("__shared")),
           Some(
-            postings
-              .where(size(d) > maxDf)
-              .select(col("s"), explode(d).as("doc"))
+            invS.join(hot, Seq("s"), "left_semi")
               .groupBy("doc").agg(sort_array(collect_list(col("s"))).as("__hot"))))
       }
     val shared = hotPerDoc match {
@@ -429,8 +432,12 @@ object Dedup {
     // fixpoint — one narrow aggregate over the staged blocks per round.
     // decimal(38,0) keeps the sum exact for up to ~10^19 vertices of max
     // long ids (n·maxId < 10^38), where a long sum could overflow.
+    // coalesce to 0: sum over an EMPTY labels relation (no pairs at all)
+    // is null — the empty graph must converge on the first probe and
+    // return the empty relation, not NPE (r8 review finding).
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
+      df.agg(coalesce(sum(col("comp").cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")))
+        .head().getDecimal(0)
     var prevSum = labelSum(labels)
     var converged = false
     var iter = 0

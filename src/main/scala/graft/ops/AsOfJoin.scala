@@ -189,6 +189,15 @@ object AsOfJoin {
   /** Explicit sort-merge as-of join: repartitionByRange on (entity, bucket) +
     * secondary sort on (ts, tag) + single-pass streaming merge. Output rows
     * stay (entity, bucket, ts)-sorted within partitions. */
+  /** @param stageUnion materialization hook for the unioned merge input —
+    *   the RangePartitioner's sampling pass otherwise executes the whole
+    *   prep subtree twice (see below). The default lazy local checkpoint
+    *   pins the relation's blocks for the SESSION lifetime (the returned
+    *   DataFrame's lineage is truncated onto them, so the operator cannot
+    *   release them itself); the bench loop's between-query hygiene
+    *   reclaims them, and a long-lived caller invoking asOfMerge many
+    *   times should pass `identity` (re-pays the sampling double-compute)
+    *   or its own TTL'd parquet stage. */
   def asOfMerge(
       probes: DataFrame,
       build: DataFrame,
@@ -197,7 +206,8 @@ object AsOfJoin {
       payload: Seq[String],
       bucketWidth: Long,
       numPartitions: Int = 0,
-      stage: DataFrame => DataFrame = identity): DataFrame = {
+      stage: DataFrame => DataFrame = identity,
+      stageUnion: DataFrame => DataFrame = _.localCheckpoint(false)): DataFrame = {
     val (unioned, probeType, payType) = prepUnion(probes, build, entityCol, tsCol, payload, bucketWidth, stage)
     val spark = probes.sparkSession
     val parts = if (numPartitions > 0) numPartitions else spark.sessionState.conf.numShufflePartitions
@@ -208,14 +218,12 @@ object AsOfJoin {
     // The RangePartitioner SAMPLES its input to place the split bounds,
     // which executes the input subtree twice: once for the sample job, once
     // for the real shuffle (r8 measurement: the build-dedupe groupBy and the
-    // carry window both ran twice). A lazy local checkpoint materializes the
-    // union on its first (sampling) pass; the shuffle pass then re-reads the
-    // blocks — the same bytes the exchange moves anyway, held once in the
-    // block manager / local disk (the cluster-scale analogue is a parquet
-    // pre-stage, exactly the `stage` contract prepUnion already documents).
-    val sorted = unioned
-      .select(col(entityCol), col(B), col(tsCol), col(TAG), col(PAY), col(PRB))
-      .localCheckpoint(false)
+    // carry window both ran twice). stageUnion (default: lazy local
+    // checkpoint) materializes the union on its first (sampling) pass; the
+    // shuffle pass then re-reads the blocks — the same bytes the exchange
+    // moves anyway. Block lifecycle: see the scaladoc.
+    val sorted = stageUnion(
+      unioned.select(col(entityCol), col(B), col(tsCol), col(TAG), col(PAY), col(PRB)))
       .repartitionByRange(parts, col(entityCol), col(B))
       .sortWithinPartitions(col(entityCol), col(B), col(tsCol), col(TAG))
 

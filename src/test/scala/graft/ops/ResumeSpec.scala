@@ -154,14 +154,21 @@ class ResumeSpec extends SparkSpec {
     // force the hot path: tiny rows-per-writer budget -> fan-out >1, <=8.
     // AQE's partition coalescing merges the salted shuffle back to one
     // task at this volume (exactly what we want in production for small
-    // partitions) — disable it here so the salt's fan-out is observable.
+    // partitions) — disable it so the salt's fan-out is observable. The
+    // override lives on a CLONED session (same r7-advice pattern as
+    // BucketedWindowsSpec): suites share one SparkSession concurrently, so
+    // the session-global flip could flake a sibling's plan assertions.
+    // (graft.resume.rowsPerWriter is JVM-global, but Resume is exercised
+    // only by this suite, whose tests run sequentially.)
     sys.props("graft.resume.rowsPerWriter") = "10"
-    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
-    val prevCoalesce = spark.conf.get(coalesceKey)
-    spark.conf.set(coalesceKey, "false")
+    val session2 = spark.newSession()
+    session2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     try {
       val hot = freshDir("salt_hot")
-      Resume.processPending(spark, features, "entity", "ts", "vec", hot, 1L)
+      val feats2 = graft.pipeline.FeaturePipeline
+        .frameFeatures(SynthImages.table(session2, entities = 6, framesPerEntity = 64))
+        .select(col("entity"), col("ts"), col("vec"))
+      Resume.processPending(session2, feats2, "entity", "ts", "vec", hot, 1L)
       val counts = Files.list(Paths.get(s"$hot/data")).iterator().asScala
         .filter(_.getFileName.toString.startsWith("__part="))
         .map(d => Files.list(d).iterator().asScala.count(_.toString.endsWith(".parquet")))
@@ -171,9 +178,6 @@ class ResumeSpec extends SparkSpec {
       // layout change must not change the audit result
       val bad = Resume.audit(spark, hot, "entity", "ts", "vec").count()
       assert(bad == 0L, "audit must stay clean under salted layout")
-    } finally {
-      sys.props.remove("graft.resume.rowsPerWriter")
-      spark.conf.set(coalesceKey, prevCoalesce)
-    }
+    } finally sys.props.remove("graft.resume.rowsPerWriter")
   }
 }
