@@ -1000,27 +1000,33 @@ object SparkEntry {
         case other => throw new IllegalStateException(s"unexpected ts type: $other")
       }
       val sentinel1Us = toUs(shiftDays(row1.get(tsIdx), 60))
-      Seq(1, 2).foreach { i =>
-        val tmp = Files.createTempDirectory(s"graft_sess_sent$i")
-        val shifted = org.apache.spark.sql.Row.fromSeq(
+      // ONE write job for both sentinel files (r8): parallelize with two
+      // ordered slices — sentinel i lands deterministically in
+      // part-0000(i−1) (parallelize preserves element order across slices;
+      // no shuffle, no range-sampling job), so the lexicographic part
+      // listing maps 1:1 onto sentinel order — half the sentinel write jobs.
+      val sentinels = Seq(1, 2).map { i =>
+        org.apache.spark.sql.Row.fromSeq(
           row1.toSeq.updated(tsIdx, shiftDays(row1.get(tsIdx), 60L * i)))
-        s.createDataFrame(java.util.Collections.singletonList(shifted), schema)
-          .coalesce(1)
-          .write.mode("overwrite").parquet(tmp.toString)
-        val listing = Files.list(tmp)
-        try {
-          val part = listing.iterator()
-          var moved = false
-          while (part.hasNext && !moved) {
-            val f = part.next()
-            if (f.getFileName.toString.endsWith(".parquet")) {
-              Files.move(f, stage.resolve(s"${i}_sentinel.parquet"))
-              moved = true
-            }
-          }
-        } finally listing.close()
-        deleteTree(tmp)
       }
+      val tmp = Files.createTempDirectory("graft_sess_sent")
+      s.createDataFrame(s.sparkContext.parallelize(sentinels, 2), schema)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val listing = Files.list(tmp)
+      try {
+        val parts = listing.iterator()
+        val parquetParts = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+        while (parts.hasNext) {
+          val f = parts.next()
+          if (f.getFileName.toString.endsWith(".parquet")) parquetParts += f
+        }
+        val sorted = parquetParts.sortBy(_.getFileName.toString)
+        require(sorted.size == 2, s"expected 2 sentinel part files, got ${sorted.size}")
+        sorted.zipWithIndex.foreach { case (f, i) =>
+          Files.move(f, stage.resolve(s"${i + 1}_sentinel.parquet"))
+        }
+      } finally listing.close()
+      deleteTree(tmp)
       // FileStreamSource orders batches by file MODIFICATION TIME, not name:
       // a modtime tie (coarse fs granularity, fast copy/move) could schedule
       // a sentinel batch first, advancing the 0s-delay watermark 60 days and
